@@ -1,0 +1,145 @@
+package graft.run
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.compile.{Check, CompileOptions, SpecCompiler}
+import graft.spec.Spec
+
+/** A compiled, reusable validation plan — the analog of the reference's
+  * `Validator` (compiled once, `Send+Sync`, reused across calls;
+  * `/root/reference/crates/jsonschema/src/validator.rs:475-513`). The
+  * plan is pure `Column` expressions, so Spark serializes it to executors
+  * with the physical plan; nothing is interpreted per row outside codegen.
+  *
+  * The four evaluation modes map to the reference's API verbs:
+  *  - `isValid`      ← `Validator::is_valid`   (validator.rs:500-503)
+  *  - `firstError`   ← `Validator::validate`   (fail-fast, validator.rs:482)
+  *  - `violations`   ← `Validator::iter_errors` (validator.rs:490-494)
+  *  - `verdicts`     ← `evaluate().flag()` per partition (evaluation.rs:245)
+  */
+final case class ValidationPlan(checks: Vector[Check]) {
+
+  /** Null-safe conjunction of all checks, cheap-first (the reference's
+    * keyword-priority ordering, `keywords/mod.rs:180-259`) so codegen's
+    * `&&` short-circuits on the cheap checks. */
+  def isValidCol: Column =
+    if (checks.isEmpty) lit(true) else checks.map(_.predicate).reduce(_ && _)
+
+  /** All failed checks as an array<struct> column. Violation structs are
+    * only materialized on the failure branch — errors are the cold path
+    * (the reference's LazyLocation idea, `paths.rs`). */
+  def violationsCol: Column = {
+    if (checks.isEmpty) typedlit(Seq.empty[ViolationRow])
+    else {
+      val entries = checks.map { ch =>
+        when(!ch.predicate,
+          struct(
+            lit(ch.keyword).as("keyword"),
+            lit(ch.schemaPath).as("schema_path"),
+            lit(ch.instancePath).as("instance_path"),
+            ch.message.as("message"))
+        ) // otherwise null
+      }
+      filter(array(entries: _*), v => v.isNotNull)
+    }
+  }
+
+  /** First failing check (fail-fast `validate`): struct or null. */
+  def firstErrorCol: Column = {
+    if (checks.isEmpty) lit(null)
+    else
+      checks.foldRight(lit(null).cast(violationStructType)) { (ch, acc) =>
+        when(!ch.predicate,
+          struct(
+            lit(ch.keyword).as("keyword"),
+            lit(ch.schemaPath).as("schema_path"),
+            lit(ch.instancePath).as("instance_path"),
+            ch.message.as("message"))
+        ).otherwise(acc)
+      }
+  }
+
+  private def violationStructType: DataType = StructType(Seq(
+    StructField("keyword", StringType),
+    StructField("schema_path", StringType),
+    StructField("instance_path", StringType),
+    StructField("message", StringType)))
+
+  /** df + `valid` boolean column. */
+  def withValid(df: DataFrame): DataFrame = df.withColumn("valid", isValidCol)
+
+  /** df + `valid` + `violations` columns (evaluate-list analog). */
+  def withValidation(df: DataFrame): DataFrame =
+    df.withColumn("valid", isValidCol).withColumn("violations", violationsCol)
+
+  /** Whole-table boolean verdict. Distributed short-circuit: only scans
+    * until the first invalid row per partition (take(1) under limit). */
+  def isValid(df: DataFrame): Boolean = df.where(!isValidCol).isEmpty
+
+  /** Violation rows: one output row per failed check, carrying the given
+    * key columns — our primary output per the north rule. */
+  def violations(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keyed = df.select(keyCols.map(col) :+ violationsCol.as("violations"): _*)
+    keyed
+      .where(size(col("violations")) > 0)
+      .select(keyCols.map(col) :+ explode(col("violations")).as("v"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("v.keyword").as("keyword"),
+        col("v.schema_path").as("schema_path"),
+        col("v.instance_path").as("instance_path"),
+        col("v.message").as("message")): _*)
+  }
+
+  /** Per-partition pass/fail verdict + counts — the analog of
+    * `evaluate().flag()` scoped to a partition (`evaluation.rs:245`),
+    * the unit of resumability in the audit log. */
+  def verdicts(df: DataFrame): DataFrame =
+    df.select(spark_partition_id().as("partition_id"), isValidCol.as("valid"))
+      .groupBy(col("partition_id"))
+      .agg(
+        every(col("valid")).as("pass"),
+        count(lit(1)).as("rows"),
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid_rows"))
+
+  /** Per-check violation counts over the whole table (one aggregation
+    * pass, map-side partial aggregation — no shuffle of row data). */
+  def checkStats(df: DataFrame): DataFrame = {
+    if (checks.isEmpty) return df.sparkSession.emptyDataFrame
+    val aggs = checks.zipWithIndex.map { case (ch, i) =>
+      sum(when(!ch.predicate, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = checks.zipWithIndex.map { case (ch, i) =>
+      struct(lit(ch.keyword).as("keyword"), lit(ch.schemaPath).as("schema_path"),
+        lit(ch.instancePath).as("instance_path"), col(s"c$i").as("violations"))
+    }
+    row.select(explode(array(pairs: _*)).as("s")).select("s.*")
+  }
+}
+
+final case class ViolationRow(keyword: String, schema_path: String,
+                              instance_path: String, message: String)
+
+/** Compile + run entry points — the one-off verbs
+  * (`lib.rs:1250,1281,1313`) and `validator_for` (`lib.rs:1346`). */
+object Validation {
+
+  /** `validator_for` analog: compile a spec (JSON text) against a table
+    * schema once; reuse the plan across any number of DataFrames. */
+  def compile(specJson: String, schema: StructType,
+              opts: CompileOptions = CompileOptions()): ValidationPlan =
+    ValidationPlan(SpecCompiler.compileRoot(Spec.parseJson(specJson), schema, opts))
+
+  def compileSpec(spec: Spec, schema: StructType,
+                  opts: CompileOptions = CompileOptions()): ValidationPlan =
+    ValidationPlan(SpecCompiler.compileRoot(spec, schema, opts))
+
+  /** One-off `is_valid` analog. */
+  def isValid(df: DataFrame, specJson: String): Boolean =
+    compile(specJson, df.schema).isValid(df)
+
+  /** One-off evaluate-list analog. */
+  def run(df: DataFrame, specJson: String): DataFrame =
+    compile(specJson, df.schema).withValidation(df)
+}

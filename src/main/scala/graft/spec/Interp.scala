@@ -1,0 +1,146 @@
+package graft.spec
+
+/** Naive single-instance interpreter of a Spec over a JsonValue.
+  *
+  * Reference-faithful semantics (one instance, one verdict) — the direct
+  * analog of `Validator::is_valid`
+  * (`/root/reference/crates/jsonschema/src/validator.rs:500-503`). Used
+  * for: (a) static evaluation inside the compiler (e.g. `propertyNames`
+  * over a fixed relational schema's column names), (b) the ScalaCheck
+  * property-test oracle (engine verdict over a 1-row Dataset must equal
+  * this interpreter's verdict).
+  */
+object Interp {
+
+  def isValid(spec: Spec, v: JsonValue): Boolean = valid(spec, v, RootCtx(spec), Nil)
+
+  private final case class RootCtx(root: Spec) {
+    lazy val defs: Map[String, Spec] = root match {
+      case o: Spec.Obj => o.defs
+      case _           => Map.empty
+    }
+  }
+
+  private def resolveRef(ref: String, ctx: RootCtx): Option[Spec] = {
+    if (ref == "#") Some(ctx.root)
+    else if (ref.startsWith("#/$defs/")) ctx.defs.get(ref.stripPrefix("#/$defs/"))
+    else if (ref.startsWith("#/definitions/")) ctx.defs.get(ref.stripPrefix("#/definitions/"))
+    else None // external refs unsupported in the interpreter
+  }
+
+  private def codePoints(s: String): Int = s.codePointCount(0, s.length)
+
+  private def valid(spec: Spec, v: JsonValue, ctx: RootCtx, stack: List[(Spec, JsonValue)]): Boolean =
+    spec match {
+      case Spec.Accept => true
+      case Spec.Reject => false
+      case s: Spec.Obj =>
+        // structure-free cycle ⇒ accept (reference detects via
+        // (node_id, instance identity) stack, validator.rs:62-115)
+        if (stack.exists { case (sp, in) => (sp eq spec) && (in eq v) }) return true
+        val st = (spec, v) :: stack
+        def ok(sub: Spec, value: JsonValue): Boolean = valid(sub, value, ctx, st)
+
+        s.ref.forall(r => resolveRef(r, ctx).forall(rs => valid(rs, v, ctx, st))) &&
+        s.types.forall(ts => typeMatches(ts, v)) &&
+        s.const.forall(c => JsonValue.equal(c, v)) &&
+        s.enumVals.forall(_.exists(JsonValue.equal(_, v))) &&
+        numCheck(v) { n =>
+          s.minimum.forall(n >= _) && s.maximum.forall(n <= _) &&
+          s.exclusiveMinimum.forall(n > _) && s.exclusiveMaximum.forall(n < _) &&
+          s.multipleOf.forall(m => (n remainder m).compareTo(BigDecimal(0)) == 0)
+        } &&
+        strCheck(v) { str =>
+          s.minLength.forall(codePoints(str) >= _) &&
+          s.maxLength.forall(codePoints(str) <= _) &&
+          s.pattern.forall(p =>
+            java.util.regex.Pattern.compile(EcmaRegex.translate(p)).matcher(str).find())
+        } &&
+        objCheck(v) { o =>
+          s.required.forall(r => o.toMap.contains(r)) &&
+          s.minProperties.forall(o.fields.length >= _) &&
+          s.maxProperties.forall(o.fields.length <= _) &&
+          s.properties.forall { case (name, sub) => o.get(name).forall(ok(sub, _)) } &&
+          s.patternProperties.forall { case (pat, sub) =>
+            val re = java.util.regex.Pattern.compile(EcmaRegex.translate(pat))
+            o.fields.forall { case (k, value) => !re.matcher(k).find() || ok(sub, value) }
+          } &&
+          s.additionalProperties.forall { ap =>
+            val propNames = s.properties.map(_._1).toSet
+            val pats = s.patternProperties.map(p => java.util.regex.Pattern.compile(EcmaRegex.translate(p._1)))
+            o.fields.forall { case (k, value) =>
+              propNames.contains(k) || pats.exists(_.matcher(k).find()) || ok(ap, value)
+            }
+          } &&
+          s.propertyNames.forall(pn => o.fields.forall { case (k, _) => ok(pn, JStr(k)) }) &&
+          s.dependentRequired.forall { case (key, deps) =>
+            !o.toMap.contains(key) || deps.forall(o.toMap.contains)
+          } &&
+          s.dependentSchemas.forall { case (key, sub) =>
+            !o.toMap.contains(key) || ok(sub, v)
+          }
+        } &&
+        arrCheck(v) { a =>
+          s.minItems.forall(a.length >= _) &&
+          s.maxItems.forall(a.length <= _) &&
+          (!s.uniqueItems || allUnique(a)) &&
+          s.prefixItems.zipWithIndex.forall { case (sub, i) =>
+            i >= a.length || ok(sub, a(i))
+          } &&
+          s.items.forall { sub =>
+            a.drop(s.prefixItems.length).forall(ok(sub, _))
+          } &&
+          (s.contains match {
+            case None => true
+            case Some(c) =>
+              val n = a.count(ok(c, _))
+              n >= s.minContains.getOrElse(1L) && s.maxContains.forall(n <= _)
+          })
+        } &&
+        s.allOf.forall(ok(_, v)) &&
+        (s.anyOf.isEmpty || s.anyOf.exists(ok(_, v))) &&
+        (s.oneOf.isEmpty || s.oneOf.count(ok(_, v)) == 1) &&
+        s.not.forall(!ok(_, v)) &&
+        (s.ifSpec match {
+          case None => true
+          case Some(i) =>
+            if (ok(i, v)) s.thenSpec.forall(ok(_, v))
+            else s.elseSpec.forall(ok(_, v))
+        })
+    }
+
+  private def typeMatches(ts: Set[JsonType], v: JsonValue): Boolean = {
+    val t = v.jsonType
+    ts.contains(t) || (t == JsonType.Integer && ts.contains(JsonType.Number))
+  }
+
+  private def numCheck(v: JsonValue)(f: BigDecimal => Boolean): Boolean = v match {
+    case JNum(n) => f(n)
+    case _       => true
+  }
+  private def strCheck(v: JsonValue)(f: String => Boolean): Boolean = v match {
+    case JStr(s) => f(s)
+    case _       => true
+  }
+  private def objCheck(v: JsonValue)(f: JObj => Boolean): Boolean = v match {
+    case o: JObj => f(o)
+    case _       => true
+  }
+  private def arrCheck(v: JsonValue)(f: Vector[JsonValue] => Boolean): Boolean = v match {
+    case JArr(a) => f(a)
+    case _       => true
+  }
+
+  private def allUnique(a: Vector[JsonValue]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) {
+        if (JsonValue.equal(a(i), a(j))) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+}

@@ -1,0 +1,184 @@
+package graft.spec
+
+/** Declarative constraint spec — the analog of a compiled-from-JSON schema.
+  *
+  * Keyword set mirrors the reference registry
+  * (`/root/reference/crates/jsonschema/src/keywords/mod.rs:62-105`,
+  * BuiltinKeyword enum) collapsed to one dialect (2020-12 semantics).
+  * A `Spec` is either a boolean schema (`keywords/boolean.rs:1-49`) or a
+  * bag of keywords.
+  */
+sealed trait Spec
+object Spec {
+  /** Boolean schema `true` — accepts everything. */
+  case object Accept extends Spec
+  /** Boolean schema `false` — rejects everything (FalseValidator). */
+  case object Reject extends Spec
+
+  final case class Obj(
+      // §2.1 scalar keywords
+      types: Option[Set[JsonType]] = None,
+      const: Option[JsonValue] = None,
+      enumVals: Option[Vector[JsonValue]] = None,
+      minimum: Option[BigDecimal] = None,
+      maximum: Option[BigDecimal] = None,
+      exclusiveMinimum: Option[BigDecimal] = None,
+      exclusiveMaximum: Option[BigDecimal] = None,
+      multipleOf: Option[BigDecimal] = None,
+      minLength: Option[Long] = None,
+      maxLength: Option[Long] = None,
+      pattern: Option[String] = None,
+      format: Option[String] = None,
+      contentEncoding: Option[String] = None,
+      contentMediaType: Option[String] = None,
+      // §2.2 object applicators
+      properties: Vector[(String, Spec)] = Vector.empty,
+      patternProperties: Vector[(String, Spec)] = Vector.empty,
+      additionalProperties: Option[Spec] = None,
+      propertyNames: Option[Spec] = None,
+      required: Vector[String] = Vector.empty,
+      minProperties: Option[Long] = None,
+      maxProperties: Option[Long] = None,
+      dependentRequired: Vector[(String, Vector[String])] = Vector.empty,
+      dependentSchemas: Vector[(String, Spec)] = Vector.empty,
+      // §2.2 array applicators
+      items: Option[Spec] = None,
+      prefixItems: Vector[Spec] = Vector.empty,
+      minItems: Option[Long] = None,
+      maxItems: Option[Long] = None,
+      uniqueItems: Boolean = false,
+      contains: Option[Spec] = None,
+      minContains: Option[Long] = None,
+      maxContains: Option[Long] = None,
+      // §2.3 combinators
+      allOf: Vector[Spec] = Vector.empty,
+      anyOf: Vector[Spec] = Vector.empty,
+      oneOf: Vector[Spec] = Vector.empty,
+      not: Option[Spec] = None,
+      ifSpec: Option[Spec] = None,
+      thenSpec: Option[Spec] = None,
+      elseSpec: Option[Spec] = None,
+      ref: Option[String] = None,
+      defs: Map[String, Spec] = Map.empty,
+  ) extends Spec {
+    def isUnconstrained: Boolean = this == Spec.empty
+  }
+
+  val empty: Obj = Obj()
+
+  /** Parse a JSON schema document into a Spec.
+    * Mirrors compile dispatch (`compiler.rs:1042-1126`); unknown keywords
+    * are ignored (annotation-only), matching the reference's behavior for
+    * non-assertion keywords.
+    */
+  def parse(v: JsonValue): Spec = v match {
+    case JBool(true)  => Accept
+    case JBool(false) => Reject
+    case o: JObj      => parseObj(o)
+    case other => throw new SpecError(s"schema must be an object or boolean, got ${other.jsonType.name}")
+  }
+
+  def parseJson(text: String): Spec = parse(JsonValue.parse(text))
+
+  private def num(v: JsonValue, kw: String): BigDecimal = v match {
+    case JNum(n) => n
+    case other   => throw new SpecError(s"$kw expects a number, got ${other.jsonType.name}")
+  }
+  private def nonNegInt(v: JsonValue, kw: String): Long = v match {
+    case n: JNum if n.isIntegral && n.value >= 0 => n.value.toLong
+    case other => throw new SpecError(s"$kw expects a non-negative integer, got ${JsonValue.render(other)}")
+  }
+  private def str(v: JsonValue, kw: String): String = v match {
+    case JStr(s) => s
+    case other   => throw new SpecError(s"$kw expects a string, got ${other.jsonType.name}")
+  }
+  private def arr(v: JsonValue, kw: String): Vector[JsonValue] = v match {
+    case JArr(xs) => xs
+    case other    => throw new SpecError(s"$kw expects an array, got ${other.jsonType.name}")
+  }
+  private def strArr(v: JsonValue, kw: String): Vector[String] = arr(v, kw).map(str(_, kw))
+  private def specArr(v: JsonValue, kw: String): Vector[Spec] = arr(v, kw).map(parse)
+
+  private def parseObj(o: JObj): Spec = {
+    var s = Obj()
+    o.fields.foreach { case (k, v) =>
+      k match {
+        case "type" => v match {
+          case JStr(t) => s = s.copy(types = Some(Set(jsonType(t))))
+          case JArr(ts) => s = s.copy(types = Some(ts.map(t => jsonType(str(t, "type"))).toSet))
+          case other => throw new SpecError(s"type expects string or array, got ${other.jsonType.name}")
+        }
+        case "const" => s = s.copy(const = Some(v))
+        case "enum" => s = s.copy(enumVals = Some(arr(v, "enum")))
+        case "minimum" => s = s.copy(minimum = Some(num(v, k)))
+        case "maximum" => s = s.copy(maximum = Some(num(v, k)))
+        case "exclusiveMinimum" => s = s.copy(exclusiveMinimum = Some(num(v, k)))
+        case "exclusiveMaximum" => s = s.copy(exclusiveMaximum = Some(num(v, k)))
+        case "multipleOf" =>
+          val n = num(v, k)
+          if (n <= 0) throw new SpecError("multipleOf must be > 0")
+          s = s.copy(multipleOf = Some(n))
+        case "minLength" => s = s.copy(minLength = Some(nonNegInt(v, k)))
+        case "maxLength" => s = s.copy(maxLength = Some(nonNegInt(v, k)))
+        case "pattern" => s = s.copy(pattern = Some(str(v, k)))
+        case "format" => s = s.copy(format = Some(str(v, k)))
+        case "contentEncoding" => s = s.copy(contentEncoding = Some(str(v, k)))
+        case "contentMediaType" => s = s.copy(contentMediaType = Some(str(v, k)))
+        case "properties" => v match {
+          case po: JObj => s = s.copy(properties = po.fields.map { case (p, ps) => p -> parse(ps) })
+          case _ => throw new SpecError("properties expects an object")
+        }
+        case "patternProperties" => v match {
+          case po: JObj => s = s.copy(patternProperties = po.fields.map { case (p, ps) => p -> parse(ps) })
+          case _ => throw new SpecError("patternProperties expects an object")
+        }
+        case "additionalProperties" => s = s.copy(additionalProperties = Some(parse(v)))
+        case "propertyNames" => s = s.copy(propertyNames = Some(parse(v)))
+        case "required" => s = s.copy(required = strArr(v, k))
+        case "minProperties" => s = s.copy(minProperties = Some(nonNegInt(v, k)))
+        case "maxProperties" => s = s.copy(maxProperties = Some(nonNegInt(v, k)))
+        case "dependentRequired" => v match {
+          case po: JObj => s = s.copy(dependentRequired = po.fields.map { case (p, d) => p -> strArr(d, k) })
+          case _ => throw new SpecError("dependentRequired expects an object")
+        }
+        case "dependentSchemas" => v match {
+          case po: JObj => s = s.copy(dependentSchemas = po.fields.map { case (p, d) => p -> parse(d) })
+          case _ => throw new SpecError("dependentSchemas expects an object")
+        }
+        case "items" => s = s.copy(items = Some(parse(v)))
+        case "prefixItems" => s = s.copy(prefixItems = specArr(v, k))
+        case "minItems" => s = s.copy(minItems = Some(nonNegInt(v, k)))
+        case "maxItems" => s = s.copy(maxItems = Some(nonNegInt(v, k)))
+        case "uniqueItems" => v match {
+          case JBool(b) => s = s.copy(uniqueItems = b)
+          case _ => throw new SpecError("uniqueItems expects a boolean")
+        }
+        case "contains" => s = s.copy(contains = Some(parse(v)))
+        case "minContains" => s = s.copy(minContains = Some(nonNegInt(v, k)))
+        case "maxContains" => s = s.copy(maxContains = Some(nonNegInt(v, k)))
+        case "allOf" => s = s.copy(allOf = specArr(v, k))
+        case "anyOf" => s = s.copy(anyOf = specArr(v, k))
+        case "oneOf" => s = s.copy(oneOf = specArr(v, k))
+        case "not" => s = s.copy(not = Some(parse(v)))
+        case "if" => s = s.copy(ifSpec = Some(parse(v)))
+        case "then" => s = s.copy(thenSpec = Some(parse(v)))
+        case "else" => s = s.copy(elseSpec = Some(parse(v)))
+        case "$ref" => s = s.copy(ref = Some(str(v, k)))
+        case "$defs" | "definitions" => v match {
+          case po: JObj => s = s.copy(defs = s.defs ++ po.fields.map { case (p, d) => p -> parse(d) })
+          case _ => throw new SpecError("$defs expects an object")
+        }
+        case _ => () // annotation-only / unknown keyword: ignored
+      }
+    }
+    s
+  }
+
+  private def jsonType(name: String): JsonType =
+    JsonType.fromName(name).getOrElse(throw new SpecError(s"unknown type: $name"))
+}
+
+/** Spec meta-validation failure — the analog of the reference's
+  * meta-schema check rejecting a malformed schema
+  * (`compiler.rs:945-966`). */
+final class SpecError(msg: String) extends RuntimeException(msg)
