@@ -1,13 +1,430 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.run.Validation
+import graft.table.TableChecks
+import graft.text.TextOps
+import graft.ann.Ann
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with DuckDB-equivalent oracle SQL where the operator is
+  * SQL-expressible. Column names are aligned between Spark and SQL (the
+  * driver's compare hashes by sorted column name). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Spec used by the orders validation queries (bounds, enum, pattern,
+    * required — SURVEY §2.1). */
+  private val ordersSpec = """{
+    "properties": {
+      "o_orderkey":      {"type": "integer", "minimum": 1},
+      "o_orderstatus":   {"type": "string", "enum": ["O", "F"]},
+      "o_totalprice":    {"type": "number", "exclusiveMinimum": 0, "maximum": 200000},
+      "o_orderpriority": {"type": "string", "pattern": "^[1-5]-[A-Z]+$"}
+    },
+    "required": ["o_custkey"]
+  }"""
+
+  private val lineitemSpec = """{
+    "properties": {
+      "l_quantity":   {"minimum": 1, "maximum": 50, "multipleOf": 1},
+      "l_discount":   {"minimum": 0, "maximum": 0.1},
+      "l_tax":        {"minimum": 0, "maximum": 0.08},
+      "l_returnflag": {"enum": ["A", "N", "R"]},
+      "l_linestatus": {"enum": ["O"]}
+    }
+  }"""
+
+  /** Flagship: full constraint suite over orders → violation rows. */
+  def entry(spark: SparkSession): DataFrame = {
+    val orders = t(spark, "/root/testdata/sf0.001", "orders")
+    Validation.compile(ordersSpec, orders.schema)
+      .violations(orders, Seq("o_orderkey"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- iter_errors analog: violation rows (keyword + schema path) ------
+    "q_validate_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      Validation.compile(ordersSpec, orders.schema)
+        .violations(orders, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("keyword"), col("schema_path"))
+        .orderBy(col("o_orderkey"), col("schema_path"))
+    }),
+
+    // -- per-check violation counts (one agg pass) -----------------------
+    "q_check_stats_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Validation.compile(lineitemSpec, li.schema)
+        .checkStats(li)
+        .select(col("keyword"), col("schema_path"), col("violations"))
+        .orderBy(col("schema_path"), col("keyword"))
+    }),
+
+    // -- whole-table verdict (evaluate().flag() analog) ------------------
+    "q_verdict_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val plan = Validation.compile(ordersSpec, orders.schema)
+      orders.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(!plan.isValidCol, 1L).otherwise(0L)).as("n_invalid"))
+    }),
+
+    // -- per-column stats: null fraction, min/max (SURVEY §2.6) ----------
+    "q_stats_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      TableChecks.columnStats(orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .select(col("column").as("col_name"), col("count").as("n_rows"),
+          col("nulls").as("n_nulls"), round(col("null_frac"), 6).as("null_frac"),
+          col("min").as("min_val"), col("max").as("max_val"))
+        .orderBy("col_name")
+    }),
+
+    // -- uniqueness violations via salted two-phase agg ------------------
+    "q_unique_events_user" -> ((s, dir) => {
+      TableChecks.uniquenessViolations(t(s, dir, "events"), Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // -- referential integrity via anti join -----------------------------
+    "q_ref_customers_no_events" -> ((s, dir) => {
+      TableChecks.referentialViolations(
+          t(s, dir, "customer"), Seq("c_custkey"),
+          t(s, dir, "events"), Seq("user_id"), broadcastDim = false)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // -- fixed-bucket histogram (drift input) ----------------------------
+    "q_hist_totalprice" -> ((s, dir) => {
+      TableChecks.histogram(t(s, dir, "orders"), "o_totalprice", 0d, 600000d, 12)
+        .orderBy("bucket")
+    }),
+
+    // -- distribution drift: PSI + KS between two cohorts ----------------
+    "q_drift_price_by_status" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def hist(status: String) =
+        TableChecks.histogram(orders.where(col("o_orderstatus") === status),
+            "o_totalprice", 0d, 600000d, 12)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cur = hist("O"); val base = hist("F")
+      val p = TableChecks.psi(cur, base); val k = TableChecks.ks(cur, base)
+      val bd = BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val kd = BigDecimal(k).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      s.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(bd.toDouble, kd.toDouble)),
+        StructType(Seq(StructField("psi", DoubleType, false), StructField("ks", DoubleType, false))))
+    }),
+
+    // -- text: token counting ---------------------------------------------
+    "q_docs_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.subwordCountApprox(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // -- text: quality scoring -------------------------------------------
+    "q_docs_quality" -> ((s, dir) => {
+      val f = TextOps.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        f.getField("chars_per_token").as("chars_per_token"),
+        f.getField("punct_ratio").as("punct_ratio"),
+        f.getField("stopword_ratio").as("stopword_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // -- text: language-ID heuristic -------------------------------------
+    "q_docs_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred")
+    }),
+
+    // -- text: document fingerprinting -----------------------------------
+    "q_docs_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // -- dedup: exact (hash-groupBy) --------------------------------------
+    "q_docs_dedup_exact" -> ((s, dir) => {
+      TextOps.exactDupGroups(t(s, dir, "documents"), "text")
+        .orderBy("fingerprint")
+    }),
+
+    // -- dedup: exact n-gram Jaccard via inverted-index join --------------
+    "q_docs_ngram_jaccard" -> ((s, dir) => {
+      TextOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- dedup: MinHash + LSH (banded; no oracle — probabilistic recall) --
+    "q_docs_minhash_lsh" -> ((s, dir) => {
+      TextOps.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 64, rowsPerBand = 4, threshold = 0.12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- dedup: SimHash near-dups (no oracle — hash-specific) -------------
+    "q_docs_simhash" -> ((s, dir) => {
+      TextOps.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- similarity search: brute-force cosine top-k ----------------------
+    "q_ann_top5" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Ann.topKCosine(emb.where(col("vec_id") =!= 0), "embedding", "vec_id", q, 5)
+    }),
+
+    // -- similarity search: LSH-bucketed ANN top-k (no oracle — approximate,
+    //    multi-probe sign-LSH pre-filter then exact cosine on survivors) ---
+    "q_ann_lsh_top5" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Ann.topKCosineLsh(emb.where(col("vec_id") =!= 0), "embedding", "vec_id",
+        q, k = 5, dim = 64, bits = 8, probeHamming = 3)
+    }),
+
+    // -- contentMediaType application/json + field extraction -------------
+    "q_events_props_json" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.agg(
+        sum(when(try_parse_json(col("props")).isNull, 1L).otherwise(0L)).as("n_bad_json"),
+        sum(when(get_json_object(col("props"), "$.k").cast(IntegerType) >= 50, 1L)
+          .otherwise(0L)).as("n_k_high"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_validate_orders" -> """
+      SELECT o_orderkey, 'minimum' AS keyword, '/properties/o_orderkey/minimum' AS schema_path
+        FROM orders WHERE o_orderkey IS NOT NULL AND NOT (o_orderkey >= 1)
+      UNION ALL
+      SELECT o_orderkey, 'enum', '/properties/o_orderstatus/enum'
+        FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+      UNION ALL
+      SELECT o_orderkey, 'exclusiveMinimum', '/properties/o_totalprice/exclusiveMinimum'
+        FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice > 0)
+      UNION ALL
+      SELECT o_orderkey, 'maximum', '/properties/o_totalprice/maximum'
+        FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 200000)
+      UNION ALL
+      SELECT o_orderkey, 'pattern', '/properties/o_orderpriority/pattern'
+        FROM orders WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+      UNION ALL
+      SELECT o_orderkey, 'required', '/required'
+        FROM orders WHERE o_custkey IS NULL
+      ORDER BY o_orderkey, schema_path""",
+
+    "q_check_stats_lineitem" -> """
+      SELECT * FROM (
+        SELECT 'minimum' AS keyword, '/properties/l_quantity/minimum' AS schema_path,
+               count(*) FILTER (WHERE l_quantity < 1) AS violations FROM lineitem
+        UNION ALL SELECT 'maximum', '/properties/l_quantity/maximum',
+               count(*) FILTER (WHERE l_quantity > 50) FROM lineitem
+        UNION ALL SELECT 'multipleOf', '/properties/l_quantity/multipleOf',
+               count(*) FILTER (WHERE l_quantity <> floor(l_quantity)) FROM lineitem
+        UNION ALL SELECT 'minimum', '/properties/l_discount/minimum',
+               count(*) FILTER (WHERE l_discount < 0) FROM lineitem
+        UNION ALL SELECT 'maximum', '/properties/l_discount/maximum',
+               count(*) FILTER (WHERE l_discount > 0.1) FROM lineitem
+        UNION ALL SELECT 'minimum', '/properties/l_tax/minimum',
+               count(*) FILTER (WHERE l_tax < 0) FROM lineitem
+        UNION ALL SELECT 'maximum', '/properties/l_tax/maximum',
+               count(*) FILTER (WHERE l_tax > 0.08) FROM lineitem
+        UNION ALL SELECT 'enum', '/properties/l_returnflag/enum',
+               count(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')) FROM lineitem
+        UNION ALL SELECT 'enum', '/properties/l_linestatus/enum',
+               count(*) FILTER (WHERE l_linestatus IS NULL OR l_linestatus NOT IN ('O')) FROM lineitem
+      ) ORDER BY schema_path, keyword""",
+
+    "q_verdict_orders" -> """
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE
+                  (o_orderkey IS NULL OR o_orderkey < 1)
+               OR (o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F'))
+               OR (o_totalprice IS NULL OR NOT (o_totalprice > 0) OR o_totalprice > 200000)
+               OR (o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$'))
+               OR o_custkey IS NULL) AS n_invalid
+      FROM orders""",
+
+    "q_stats_orders" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               round((count(*) - count(o_orderkey)) / count(*)::DOUBLE, 6) AS null_frac,
+               min(o_orderkey)::VARCHAR AS min_val, max(o_orderkey)::VARCHAR AS max_val FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               round((count(*) - count(o_custkey)) / count(*)::DOUBLE, 6),
+               min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               round((count(*) - count(o_orderstatus)) / count(*)::DOUBLE, 6),
+               min(o_orderstatus), max(o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               round((count(*) - count(o_totalprice)) / count(*)::DOUBLE, 6),
+               min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               round((count(*) - count(o_orderpriority)) / count(*)::DOUBLE, 6),
+               min(o_orderpriority), max(o_orderpriority) FROM orders
+      ) ORDER BY col_name""",
+
+    "q_unique_events_user" -> """
+      SELECT user_id, count(*) AS cnt FROM events
+      GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""",
+
+    "q_ref_customers_no_events" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+      ORDER BY c_custkey""",
+
+    "q_hist_totalprice" -> """
+      SELECT bucket, count(*) AS cnt FROM (
+        SELECT CASE WHEN o_totalprice < 0 THEN -1
+                    WHEN o_totalprice >= 600000 THEN 12
+                    ELSE floor(o_totalprice / 50000)::BIGINT END AS bucket
+        FROM orders WHERE o_totalprice IS NOT NULL)
+      GROUP BY bucket ORDER BY bucket""",
+
+    "q_drift_price_by_status" -> """
+      WITH buckets AS (
+        SELECT CASE WHEN o_totalprice < 0 THEN -1
+                    WHEN o_totalprice >= 600000 THEN 12
+                    ELSE floor(o_totalprice / 50000)::BIGINT END AS bucket,
+               o_orderstatus AS st
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O','F')),
+      h AS (
+        SELECT bucket,
+               count(*) FILTER (WHERE st = 'O') AS c,
+               count(*) FILTER (WHERE st = 'F') AS b
+        FROM buckets GROUP BY bucket),
+      tot AS (SELECT sum(c) AS ct, sum(b) AS bt FROM h),
+      pq AS (
+        SELECT bucket,
+               greatest(c / ct::DOUBLE, 1e-6) AS p,
+               greatest(b / bt::DOUBLE, 1e-6) AS q,
+               c / ct::DOUBLE AS pr, b / bt::DOUBLE AS qr
+        FROM h, tot),
+      cdf AS (
+        SELECT sum(pr) OVER (ORDER BY bucket) AS cp,
+               sum(qr) OVER (ORDER BY bucket) AS cq
+        FROM pq)
+      SELECT (SELECT round(sum((p - q) * ln(p / q)), 4) FROM pq) AS psi,
+             (SELECT round(max(abs(cp - cq)), 4) FROM cdf) AS ks""",
+
+    "q_docs_tokens" -> """
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                       t -> ceil(length(t) / 4.0)::BIGINT)) END AS n_subwords
+      FROM documents ORDER BY doc_id""",
+
+    "q_docs_quality" -> """
+      WITH f AS (
+        SELECT doc_id,
+               length(text) AS nc,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+               length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS alnum,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                    'that','for','on','with','as','was','at','by','be'))) END AS stop
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               round(CASE WHEN nt > 0 THEN nc / nt::DOUBLE ELSE 0 END, 4) AS chars_per_token,
+               round(CASE WHEN nc > 0 THEN (nc - alnum) / nc::DOUBLE ELSE 0 END, 4) AS punct_ratio,
+               round(CASE WHEN nt > 0 THEN stop / nt::DOUBLE ELSE 0 END, 4) AS stopword_ratio,
+               nt FROM f)
+      SELECT doc_id, chars_per_token, punct_ratio, stopword_ratio,
+             round(least(nt / 20.0, 1.0) * 0.5
+                 + greatest(0.0, 1.0 - punct_ratio * 4) * 0.3
+                 + least(stopword_ratio * 5, 1.0) * 0.2, 4) AS quality
+      FROM r ORDER BY doc_id""",
+
+    "q_docs_langid" -> """
+      WITH toks AS (
+        SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS w
+        FROM documents),
+      hits AS (
+        SELECT len(list_filter(w, t -> t IN ('the','and','of','to','is','in','that','it','was','for'))) AS en,
+               len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS de,
+               len(list_filter(w, t -> t IN ('el','la','que','de','los','las','una','por','con','para'))) AS es,
+               len(list_filter(w, t -> t IN ('le','la','les','et','des','est','une','dans','pour','que'))) AS fr
+        FROM toks),
+      pred AS (
+        SELECT CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                    WHEN fr = greatest(en, de, es, fr) THEN 'fr'
+                    WHEN es = greatest(en, de, es, fr) THEN 'es'
+                    WHEN en = greatest(en, de, es, fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM hits)
+      SELECT lang_pred, count(*) AS cnt FROM pred GROUP BY lang_pred ORDER BY lang_pred""",
+
+    "q_docs_fingerprint" -> """
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id""",
+
+    "q_docs_dedup_exact" -> """
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+             count(*) AS cnt
+      FROM documents GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""",
+
+    "q_docs_ngram_jaccard" -> """
+      WITH t AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS sh
+        FROM t WHERE len(w) >= 3),
+      inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+               count(*) AS common
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, round(common / (sz_a + sz_b - common)::DOUBLE, 4) AS jaccard
+      FROM pairs
+      WHERE common / (sz_a + sz_b - common)::DOUBLE >= 0.12
+      ORDER BY id_a, id_b""",
+
+    "q_ann_top5" -> """
+      SELECT e2.vec_id AS id,
+             round(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))), 4) AS cos
+      FROM embeddings e1, embeddings e2
+      WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+      ORDER BY cos DESC, id LIMIT 5""",
+
+    "q_events_props_json" -> """
+      SELECT count(*) FILTER (WHERE try_cast(props AS JSON) IS NULL) AS n_bad_json,
+             count(*) FILTER (WHERE try_cast(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS n_k_high
+      FROM events""",
+  )
 }

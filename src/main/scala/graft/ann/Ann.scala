@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Baseline: brute-force cosine top-k (distributed
+  * TakeOrdered — no global sort). Scale path: sign-LSH (random
+  * hyperplanes) bucketing so candidate generation shuffles on a small
+  * bucket key instead of crossing the table with itself.
+  */
+object Ann {
+
+  /** Dot product of two equal-length numeric array columns — sequential
+    * left fold in both engines ⇒ reproducible. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0d), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2norm(a) * l2norm(b)
+    when(n === 0d, lit(0d)).otherwise(d / n)
+  }
+
+  /** Brute-force top-k by cosine against one query vector. The per-row
+    * score is a codegen'd expression; `orderBy().limit(k)` plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge of k·P
+    * rows, never a full shuffle/sort). */
+  def topKCosine(df: DataFrame, vecCol: String, idCol: String,
+                 query: Array[Float], k: Int): DataFrame = {
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol).as("id"),
+        round(cosine(col(vecCol), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: `bits` random hyperplanes → one bit each (sign of
+    * the projection). Vectors in the same bucket are near-ish in angle. */
+  def lshBucket(vecCol: Column, dim: Int, bits: Int = 12, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, bits, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(vecCol, typedlit(p.toSeq))
+      when(proj >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+  }
+
+  /** ANN near-duplicate pairs: bucket by sign-LSH (optionally probing the
+    * query's own bucket only), self-join within bucket, verify with exact
+    * cosine. Shuffle key = (bucket), so the join is bucket-local. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double = 0.9, bits: Int = 12, seed: Long = 42L): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, bits, seed))
+    val a = withB.alias("a"); val b = withB.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** ANN top-k with LSH pre-filter: score only vectors whose bucket is
+    * within `probeHamming` bits of the query's bucket (multi-probe),
+    * then exact cosine on the survivors. Falls back to brute force
+    * recall-wise only within the probed buckets — the 100TB path where
+    * scoring every row is off the table. */
+  def topKCosineLsh(df: DataFrame, vecCol: String, idCol: String,
+                    query: Array[Float], k: Int, dim: Int,
+                    bits: Int = 12, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val proj = p.zip(query).map { case (x, y) => x * y.toDouble }.sum
+      if (proj >= 0d) 1L << i else 0L
+    }.sum
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, bits, seed))
+      // partition-prunable pre-filter: cheap bit_count on the bucket key
+      .where(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+    val q = typedlit(query.toSeq)
+    bucketed.select(col("id"), round(cosine(col("v"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+}

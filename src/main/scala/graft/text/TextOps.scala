@@ -1,0 +1,234 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: normalization,
+  * token counting, quality scoring, language ID, fingerprinting and
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Everything is `functions._` composition (codegen'd, no UDFs); the
+  * pairwise steps are bounded by LSH banding so the self-join never goes
+  * quadratic in the table size — only within-bucket.
+  */
+object TextOps {
+
+  /** Whitespace-collapse + lowercase normalization (dedup canonical form). */
+  def normalize(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokens; empty/null-safe (empty string → no tokens). */
+  def tokens(c: Column): Column =
+    when(c.isNull || trim(c) === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count approximation: word-piece count where each
+    * token contributes ceil(len/4) pieces (a public rule of thumb for
+    * byte-pair tokenizers; deterministic, no vocab needed). */
+  def subwordCountApprox(c: Column): Column =
+    coalesce(aggregate(tokens(c), lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast(LongType)), lit(0L))
+
+  /** Document fingerprint for exact dedup: md5 of the normalized text.
+    * (md5 rather than a bespoke rolling hash so external engines can
+    * reproduce the fingerprint for auditing.) */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** 64-bit rolling-style content hash (cheaper than md5, Spark-native). */
+  def fingerprint64(c: Column): Column = xxhash64(normalize(c))
+
+  /** Quality-scoring features: chars, tokens, mean token length, ratio of
+    * non-alphanumeric chars, stopword ratio, all-caps ratio. Pure
+    * arithmetic -> reproducible in any SQL engine. */
+  def qualityFeatures(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks)
+    val nChar = length(c)
+    val alnum = length(regexp_replace(c, "[^\\p{L}\\p{N}\\s]", ""))
+    val stop = size(filter(toks, t => t.isin(stopwords: _*)))
+    struct(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(when(nTok > 0, nChar.cast(DoubleType) / nTok).otherwise(0d), 4).as("chars_per_token"),
+      round(when(nChar > 0, (nChar - alnum).cast(DoubleType) / nChar).otherwise(0d), 4).as("punct_ratio"),
+      round(when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(0d), 4).as("stopword_ratio"))
+  }
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  /** Composite quality score in [0,1]: length sweet-spot × low punct ×
+    * stopword presence (heuristic in the spirit of public quality
+    * filters; deterministic arithmetic). */
+  def qualityScore(c: Column): Column = {
+    val f = qualityFeatures(c)
+    val lenScore = least(f.getField("n_tokens").cast(DoubleType) / 20d, lit(1d))
+    val punctScore = greatest(lit(0d), lit(1d) - f.getField("punct_ratio") * 4d)
+    val stopScore = least(f.getField("stopword_ratio") * 5d, lit(1d))
+    round(lenScore * lit(0.5) + punctScore * lit(0.3) + stopScore * lit(0.2), 4)
+  }
+
+  /** Language-ID heuristic: argmax of language-marker stopword hits
+    * (n-gram/stopword heuristic; ties and no-hits → "und"). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "que", "de", "los", "las", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "pour", "que"),
+  )
+
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = langMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, then insertion order preserved via reverse stability)
+    val best = array_max(array(scores.reverse: _*)) // struct compare: hits first
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Exact-duplicate groups: fingerprint → count > 1. Hash groupBy with
+    * map-side partial aggregation; the fingerprint is the shuffle key so
+    * identical docs co-locate regardless of table partitioning. */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Word n-gram shingles of the normalized text (distinct). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalize(c))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) < n, array().cast(ArrayType(StringType))).otherwise(grams))
+  }
+
+  /** Deterministic affine MinHash family over xxhash64 shingle hashes:
+    * h_j(x) = (a_j * (x mod p) + b_j) mod p, p = 2^31-1 (the classic
+    * construction; a_j, b_j seeded). Returns array of k minhash values. */
+  def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val coef = Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(MersennePrime)))
+    val mins = coef.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    when(size(shingleCol) === 0, array().cast(ArrayType(LongType))).otherwise(array(mins: _*))
+  }
+
+  /** LSH banding: split the k-length signature into bands of `rowsPerBand`
+    * and emit one (band_id, band_hash) per band. Docs sharing any band
+    * hash are candidate near-dups. */
+  def lshBands(signature: Column, rowsPerBand: Int): Column = {
+    val bandIdx = sequence(lit(0), (size(signature) / rowsPerBand).cast(IntegerType) - 1)
+    transform(bandIdx, b =>
+      struct(b.as("band"), xxhash64(concat_ws(",",
+        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast(StringType)))).as("band_hash")))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * Jaccard over shingle sets. The self-join is per (band, band_hash)
+    * bucket — shuffle on the band hash, never a full cross join. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val withSig = df.select(
+        col(idCol).as("id"),
+        shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k, seed))
+      .where(size(col("sig")) > 0)
+    val banded = withSig
+      .select(col("id"), col("sh"), explode(lshBands(col("sig"), rowsPerBand)).as("b"))
+      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity between all pairs sharing at least
+    * one shingle (inverted-index join: explode shingles, join on shingle,
+    * count common, derive union from per-doc sizes — no cross join). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .where(col("sz") > 0)
+    val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val a = inv.alias("a"); val b = inv.alias("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset: per-bit vote of xxhash64(token),
+    * sign → bit. Pure expression form: fold tokens into a 64-wide vote
+    * array, then assemble bits. */
+  def simhash(c: Column): Column = {
+    val toks = tokens(normalize(c))
+    // static 2^i masks (works for the sign bit too — bitwiseAND only)
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, powers,
+          (v, p) => v + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit chunks
+    * (pigeonhole: hamming <= 3 ⇒ at least one identical chunk), join per
+    * chunk, verify with exact hamming. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+    val chunks = withH.select(col("id"), col("h"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("h"), i * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("c"))
+      .select(col("id"), col("h"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    val a = chunks.alias("a"); val b = chunks.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.h"), col("b.h")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+case class Vec(id: Long, v: Seq[Float])
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dim = 8
+  def unit(i: Int): Seq[Float] = (0 until dim).map(j => if (i == j) 1f else 0f)
+
+  test("cosine: orthogonal 0, identical 1") {
+    val df = Seq(Vec(1, unit(0)), Vec(2, unit(1)), Vec(3, unit(0))).toDF()
+    val q = typedlit(unit(0))
+    val got = df.select(col("id"), Ann.cosine(col("v"), q).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1d && got(2L) == 0d && got(3L) == 1d)
+  }
+
+  test("brute-force topK returns nearest by cosine with id tie-break") {
+    val vecs = (0 until 50).map { i =>
+      Vec(i.toLong, (0 until dim).map(j => (math.sin(i * 17 + j) + 2).toFloat))
+    }
+    val df = vecs.toDF()
+    val q = vecs.head.v.toArray
+    val got = Ann.topKCosine(df.where(col("id") =!= 0), "v", "id", q, 5)
+      .collect().map(_.getLong(0))
+    // oracle: exact cosine in Scala
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = vecs.tail
+      .map(v => (v.id, BigDecimal(cos(vecs.head.v, v.v)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.toSeq == expected)
+  }
+
+  test("LSH top-k finds the planted near-duplicate") {
+    val base = (0 until dim).map(j => (j + 1).toFloat)
+    val near = base.updated(0, 1.05f)
+    val vecs = Vec(0, base) +: Vec(1, near) +:
+      (2 until 100).map(i => Vec(i.toLong, (0 until dim).map(j => (math.sin(i * 31 + j * 7) * 5).toFloat)))
+    val df = vecs.toDF()
+    val got = Ann.topKCosineLsh(df.where(col("id") =!= 0), "v", "id",
+      base.toArray, k = 3, dim = dim, bits = 8, probeHamming = 2)
+      .collect().map(_.getLong(0))
+    assert(got.headOption.contains(1L)) // the planted near-dup survives LSH
+  }
+
+  test("cosineNearDups pairs planted duplicates within buckets") {
+    val base = (0 until dim).map(j => (j + 1).toFloat)
+    val near = base.updated(1, 2.01f)
+    val df = Seq(Vec(0, base), Vec(1, near),
+      Vec(2, (0 until dim).map(j => (if (j % 2 == 0) -1f else 1f)))).toDF()
+    val pairs = Ann.cosineNearDups(df, "id", "v", dim, threshold = 0.99, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+}

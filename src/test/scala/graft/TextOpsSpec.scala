@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+case class Doc(id: Long, text: String)
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens / tokenCount handle empties and whitespace runs") {
+    val df = Seq(Doc(1, "the quick  brown\tfox"), Doc(2, ""), Doc(3, "  "), Doc(4, null)).toDF()
+    val got = df.select(col("id"), TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 4, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(Doc(1, "Hello  World"), Doc(2, "  hello world "), Doc(3, "other")).toDF()
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("exactDupGroups finds duplicate groups") {
+    val df = Seq(Doc(1, "a b"), Doc(2, "A  b"), Doc(3, "c")).toDF()
+    val d = TextOps.exactDupGroups(df, "text").collect()
+    assert(d.length == 1 && d(0).getAs[Long]("cnt") == 2)
+  }
+
+  test("shingles: word 3-grams, distinct, short-text safe") {
+    val df = Seq(Doc(1, "a b c d"), Doc(2, "a b")).toDF()
+    val got = df.select(col("id"), TextOps.shingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+  }
+
+  test("minhash LSH finds near-identical docs and skips distinct ones") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val far = (100 to 130).map(i => s"v$i").mkString(" ")
+    val df = Seq(Doc(1, base), Doc(2, near), Doc(3, far)).toDF()
+    val pairs = TextOps.minhashNearDups(df, "id", "text", n = 3, k = 64,
+      rowsPerBand = 4, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1 && pairs(0).getAs[Long]("id_b") == 2)
+    assert(pairs(0).getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val df = Seq(Doc(1, "a b c d e"), Doc(2, "a b c d f"), Doc(3, "x y z w q")).toDF()
+    val pairs = TextOps.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    // shingles: {abc,bcd,cde} vs {abc,bcd,cdf}: common 2, union 4 → 0.5
+    assert(pairs(0).getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("simhash: identical docs distance 0, near docs close, far docs far") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq(Doc(1, base), Doc(2, base), Doc(3, near), Doc(4, far)).toDF()
+    val h = df.select(col("id"), TextOps.simhash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) == 0)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+
+  test("simhashNearDups pairs identical docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq(Doc(1, base), Doc(2, base), Doc(3, far)).toDF()
+    val pairs = TextOps.simhashNearDups(df, "id", "text", maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("langId picks marker language; und without markers") {
+    val df = Seq(
+      Doc(1, "the cat and the dog was in that house"),
+      Doc(2, "der hund und die katze ist nicht da"),
+      Doc(3, "el perro que la casa de los gatos"),
+      Doc(4, "xyz abc qqq")).toDF()
+    val got = df.select(col("id"), TextOps.langId(col("text")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("quality score: clean prose beats punctuation soup") {
+    val df = Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog and runs to the hills for a while longer today"),
+      Doc(2, "@#$% ^&*! ~~~ ??? !!!")).toDF()
+    val q = df.select(col("id"), TextOps.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > 0.7 && q(2L) < 0.3)
+  }
+}
