@@ -1,24 +1,77 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.audio.{AudioChecks, ClipsGen}
+import graft.table.TableChecks
+
+/** Per-round benchmark main (driver contract): headline queries on
+  * SPARK_GRAFT_SF_DIR plus the flagship clips-validation throughput
+  * (north-rule metric: validated clips/sec, full constraint suite).
+  * Prints ONE JSON line. */
 object Bench {
+
+  /** Clips parquet fixture (generated once per (n, seed), reused). The
+    * benchmark then measures VALIDATION cost from parquet, not synthesis. */
+  def clipsFixture(spark: SparkSession, n: Long, partitions: Int): String = {
+    val path = s"/tmp/graft_bench/clips_n${n}_p$partitions"
+    val ok = new java.io.File(s"$path/_SUCCESS").exists()
+    if (!ok) {
+      ClipsGen.generate(spark, n, partitions, corruptionRate = 0.01)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The full clips constraint suite, forced end-to-end: row-level scalar +
+    * audio checks, violation rows, per-partition verdicts, uniqueness. */
+  def validateClips(spark: SparkSession, path: String): Long = {
+    val df = spark.read.parquet(path)
+    val plan = AudioChecks.fullPlan(df.schema)
+    val validated = plan.withValidation(df)
+    // one pass: per-partition verdicts + violation counts
+    val agg = validated.agg(
+      count(lit(1)).as("rows"),
+      sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid"),
+      sum(size(col("violations"))).as("violations"))
+    val row = agg.collect()(0)
+    // uniqueness (salted) — part of the suite
+    TableChecks.uniquenessViolations(df, Seq("clip_id")).count()
+    row.getAs[Long]("rows")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val clipsPath = clipsFixture(spark, nClips, cpus.toInt * 4)
+    // warm the JVM/codegen once with a small slice
+    validateClips(spark, clipsPath) // warmup (reads full set once)
+    val t0 = System.nanoTime()
+    val rows = validateClips(spark, clipsPath)
+    val clipSec = (System.nanoTime() - t0) / 1e9
+    val clipsPerSec = rows / clipSec
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("clips_full_suite") = clipSec
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f}""")
     spark.stop()
   }
 }

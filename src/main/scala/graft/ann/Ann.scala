@@ -12,20 +12,15 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
-  /** Dot product of two equal-length numeric array columns — sequential
-    * left fold in both engines ⇒ reproducible. */
+  /** Dot product / cosine via compiled tight-loop kernels (double
+    * accumulation, sequential left fold ⇒ reproducible in any engine
+    * folding the same way). Spark's aggregate/zip_with HOFs are
+    * interpreted per element — far too slow for 100TB-scale scoring. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0d), (acc, x) => acc + x)
+    graft.functions.vecexprs.dot_product(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0d), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2norm(a) * l2norm(b)
-    when(n === 0d, lit(0d)).otherwise(d / n)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.vecexprs.cosine_sim(a, b)
 
   /** Brute-force top-k by cosine against one query vector. The per-row
     * score is a codegen'd expression; `orderBy().limit(k)` plans as

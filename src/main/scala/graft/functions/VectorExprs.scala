@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Tight-loop kernels for the similarity/dedup operators. Spark's
+  * higher-order functions (aggregate/zip_with/transform) are interpreted
+  * per element (they never enter whole-stage codegen), which measured
+  * ~18 ms/row for a 64-hash MinHash fold; these custom expressions run the
+  * same math as compiled Java loops (SURVEY §7: custom `Expression` where
+  * built-ins can't express the op efficiently). */
+object VecFns {
+  final val P: Long = 2147483647L // 2^31 - 1 (Mersenne)
+
+  private val coefCache = new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  /** Packed affine coefficients (a<<31|b), deterministic per (k, seed). */
+  def coefs(k: Int, seed: Long): Array[Long] =
+    coefCache.computeIfAbsent((k, seed), { case (kk, s) =>
+      val rnd = new scala.util.Random(s)
+      Array.fill(kk) {
+        val a = (1 + rnd.nextInt(Int.MaxValue - 1)).toLong
+        val b = rnd.nextInt(Int.MaxValue).toLong
+        (a << 31) | b
+      }
+    })
+
+  private def hash64(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** MinHash signature: h_j(x) = (a_j * (xxh64(x) mod p) + b_j) mod p. */
+  def minhashSig(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val cs = coefs(k, seed)
+    val out = Array.fill(k)(P)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val hb = ((hash64(s) % P) + P) % P
+        var j = 0
+        while (j < k) {
+          val c = cs(j)
+          val v = ((c >>> 31) * hb + (c & 0x7FFFFFFFL)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over tokens: per-bit ±1 votes of xxh64(token). */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h = hash64(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** cosine accumulated in double, sequential left-to-right fold —
+    * bit-compatible with external engines folding the same way. aF/bF:
+    * element type is float (vs double) per side. */
+  def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0d) 0d else dot / d
+  }
+
+  /** LSH band keys from a minhash signature: the signature is split into
+    * bands of `rowsPerBand` values; each band hashes (mixed fold) into a
+    * 56-bit value tagged with the band index in the top byte, so keys from
+    * different bands never join. One long per band. */
+  def lshBandKeys(sig: ArrayData, rowsPerBand: Int): ArrayData = {
+    val k = sig.numElements()
+    val nb = k / rowsPerBand
+    val out = new Array[Long](nb)
+    var b = 0
+    while (b < nb) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < rowsPerBand) {
+        var z = h ^ sig.getLong(b * rowsPerBand + j)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        h = z ^ (z >>> 31)
+        j += 1
+      }
+      out(b) = (b.toLong << 56) | (h & 0x00FFFFFFFFFFFFFFL)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0d
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}
+
+/** minhash_sig(shingles, k, seed) → array<long>. */
+case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VecFns.minhashSig(input.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.minhashSig($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** lsh_band_keys(signature, rowsPerBand) → array<long>. */
+case class LshBandKeys(child: Expression, rowsPerBand: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VecFns.lshBandKeys(input.asInstanceOf[ArrayData], rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.lshBandKeys($c, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+}
+
+/** simhash64(tokens) → long. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    VecFns.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** cosine_sim(a, b) / dot_product(a, b) over array<float>/array<double>
+  * (mixed element types allowed; accumulation always in double). */
+abstract class BinaryVecExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression) extends BinaryVecExpression {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecFns.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecFns.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryVecExpression {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecFns.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecFns.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+object vecexprs {
+  def minhash_sig(shingles: Column, k: Int, seed: Long = 42L): Column =
+    ColumnBridge.toCol(MinHashSig(ColumnBridge.toExpr(shingles), k, seed))
+  def lsh_band_keys(sig: Column, rowsPerBand: Int): Column =
+    ColumnBridge.toCol(LshBandKeys(ColumnBridge.toExpr(sig), rowsPerBand))
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.toCol(SimHash64(ColumnBridge.toExpr(tokens)))
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.toCol(CosineSim(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.toCol(DotProduct(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+}

@@ -114,26 +114,23 @@ object TextOps {
 
   /** Deterministic affine MinHash family over xxhash64 shingle hashes:
     * h_j(x) = (a_j * (x mod p) + b_j) mod p, p = 2^31-1 (the classic
-    * construction; a_j, b_j seeded). Returns array of k minhash values. */
+    * construction; a_j, b_j seeded). Returns array of k minhash values.
+    *
+    * Implemented as ONE fold over the shingles with a k-wide `zip_with`
+    * against a packed (a<<31|b) coefficient literal array — k separate
+    * `array_min(transform(...))` trees blow codegen up quadratically
+    * (measured 450s for 500 docs before; sub-second after). */
   def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val coef = Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
-    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(MersennePrime)))
-    val mins = coef.map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    when(size(shingleCol) === 0, array().cast(ArrayType(LongType))).otherwise(array(mins: _*))
+    val sig = graft.functions.vecexprs.minhash_sig(shingleCol, k, seed)
+    when(size(shingleCol) === 0, array().cast(ArrayType(LongType))).otherwise(sig)
   }
 
   /** LSH banding: split the k-length signature into bands of `rowsPerBand`
-    * and emit one (band_id, band_hash) per band. Docs sharing any band
-    * hash are candidate near-dups. */
-  def lshBands(signature: Column, rowsPerBand: Int): Column = {
-    val bandIdx = sequence(lit(0), (size(signature) / rowsPerBand).cast(IntegerType) - 1)
-    transform(bandIdx, b =>
-      struct(b.as("band"), xxhash64(concat_ws(",",
-        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast(StringType)))).as("band_hash")))
-  }
+    * and emit one band key (band index in the top byte, band hash in the
+    * low 56 bits) per band. Docs sharing any band key are candidate
+    * near-dups. Compiled kernel — see VecFns.lshBandKeys. */
+  def lshBands(signature: Column, rowsPerBand: Int): Column =
+    graft.functions.vecexprs.lsh_band_keys(signature, rowsPerBand)
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
     * Jaccard over shingle sets. The self-join is per (band, band_hash)
@@ -142,24 +139,21 @@ object TextOps {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val withSig = df.select(
-        col(idCol).as("id"),
-        shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k, seed))
-      .where(size(col("sig")) > 0)
-    val banded = withSig
-      .select(col("id"), col("sh"), explode(lshBands(col("sig"), rowsPerBand)).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    // candidate generation shuffles only (id, band, band_hash) — the fat
+    // shingle arrays are joined back ONLY for the deduped candidates
+    val banded = docs
+      .select(col("id"), explode(lshBands(minhashSignature(col("sh"), k, seed), rowsPerBand)).as("band_key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val pairs = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    val da = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val db = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(da, "id_a").join(db, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -192,22 +186,8 @@ object TextOps {
   /** 64-bit SimHash of the token multiset: per-bit vote of xxhash64(token),
     * sign → bit. Pure expression form: fold tokens into a 64-wide vote
     * array, then assemble bits. */
-  def simhash(c: Column): Column = {
-    val toks = tokens(normalize(c))
-    // static 2^i masks (works for the sign bit too — bitwiseAND only)
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, powers,
-          (v, p) => v + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(c: Column): Column =
+    graft.functions.vecexprs.simhash64(tokens(normalize(c)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
