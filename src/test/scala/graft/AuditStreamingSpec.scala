@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.audit.CheckpointedRun
+import graft.run.Validation
+import graft.streaming.StreamingValidation
+
+class AuditStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val ordersSpec = """{
+    "properties": {"o_totalprice": {"maximum": 200000}},
+    "required": ["o_custkey"]
+  }"""
+
+  test("checkpointed run: crash mid-run, resume completes without double counting") {
+    import spark.implicits._
+    // a table with several parquet files (units)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_table").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(4).write.mode("overwrite").parquet(tableDir)
+    val df = spark.read.parquet(tableDir)
+    val plan = Validation.compile(ordersSpec, df.schema)
+    val auditDir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+
+    // full-run ground truth
+    val expectInvalid = df.where(!plan.isValidCol).count()
+    val expectRows = df.count()
+
+    // crash after 2 units
+    val crash = intercept[RuntimeException] {
+      CheckpointedRun.run(spark, tableDir, plan, auditDir, "run1",
+        Seq("o_orderkey"), failAfterUnits = 2)
+    }
+    assert(crash.getMessage.contains("injected failure"))
+    val committed = CheckpointedRun.auditLog(spark, auditDir, "run1")
+    assert(committed.count() == 2)
+
+    // resume: completes, skips the 2 committed units
+    val summary = CheckpointedRun.run(spark, tableDir, plan, auditDir, "run1",
+      Seq("o_orderkey"))
+    assert(summary.resumedUnits == 2)
+    assert(summary.rows == expectRows)
+    assert(summary.invalidRows == expectInvalid)
+
+    // audit log is the source of truth and matches
+    val log = CheckpointedRun.auditLog(spark, auditDir, "run1")
+    assert(log.agg(sum("rows")).collect()(0).getLong(0) == expectRows)
+    assert(log.agg(sum("invalid_rows")).collect()(0).getLong(0) == expectInvalid)
+    assert(log.select("plan_fingerprint").distinct().count() == 1)
+
+    // violations materialized per unit, total matches a direct run
+    val vio = spark.read.parquet(s"$auditDir/violations/run1/*")
+    assert(vio.count() == plan.violations(df, Seq("o_orderkey")).count())
+
+    // idempotence: a third run skips everything
+    val again = CheckpointedRun.run(spark, tableDir, plan, auditDir, "run1",
+      Seq("o_orderkey"), failAfterUnits = 0)
+    assert(again.resumedUnits == again.units.size)
+    assert(again.rows == expectRows)
+  }
+
+  // readStream needs a directory source
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming validation: windowed verdicts over the events stream") {
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val evSpec = """{
+      "properties": {
+        "value": {"minimum": 0, "maximum": 400},
+        "event_type": {"enum": ["click", "view", "purchase", "signup", "error"]}
+      }}"""
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val plan = Validation.compile(evSpec, schema)
+    val verdicts = StreamingValidation.windowedVerdicts(stream, plan, "ts", "1 hour")
+    val q = verdicts.writeStream.outputMode("complete")
+      .format("memory").queryName("verdicts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("select * from verdicts")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val expectedInvalid = batch.where(col("value") > 400).count()
+    assert(out.agg(sum("rows")).collect()(0).getLong(0) == batch.count())
+    assert(out.agg(sum("invalid_rows")).collect()(0).getLong(0) == expectedInvalid)
+    assert(out.count() > 1) // multiple hourly windows
+  }
+
+  test("streaming violation rows are stateless append") {
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val plan = Validation.compile("""{"properties":{"value":{"maximum":100}}}""", schema)
+    val q = StreamingValidation.violationStream(stream, plan, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("vio")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select count(*) from vio").collect()(0).getLong(0)
+    val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where(col("value") > 100).count()
+    assert(got == expected && got > 0)
+  }
+}
