@@ -201,6 +201,61 @@ object SparkEntry {
         q, k = 5, dim = 64, bits = 8, probeHamming = 3)
     }),
 
+    // -- classic OLAP: aggregation with exact decimal sums ----------------
+    "q_agg_lineitem_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DecimalType(24, 4))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // -- classic OLAP: broadcast-joined rollup -----------------------------
+    "q_join_revenue_by_segment" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // -- window functions: first event per user ----------------------------
+    "q_window_first_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // -- exact quantiles (sort-based; approx sketch variant is rows-only) --
+    "q_quantiles_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+    }),
+
+    // -- mergeable quantile sketch (no oracle — approx, GK/KLL-family) -----
+    "q_quantiles_sketch" -> ((s, dir) => {
+      TableChecks.quantileSketch(t(s, dir, "lineitem"),
+          Seq("l_extendedprice", "l_quantity"), Seq(0.5, 0.95, 0.99))
+        .select(col("column").as("col_name"), col("quantiles"))
+        .orderBy("col_name")
+    }),
+
     // -- contentMediaType application/json + field extraction -------------
     "q_events_props_json" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -421,6 +476,35 @@ object SparkEntry {
       FROM embeddings e1, embeddings e2
       WHERE e1.vec_id = 0 AND e2.vec_id <> 0
       ORDER BY cos DESC, id LIMIT 5""",
+
+    "q_agg_lineitem_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+             sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+             sum((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(24,4)) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_join_revenue_by_segment" -> """
+      SELECT c_mktsegment,
+             sum(o_totalprice::DECIMAL(18,2)) AS revenue,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_window_first_event" -> """
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id""",
+
+    "q_quantiles_lineitem" -> """
+      SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      FROM lineitem""",
 
     "q_events_props_json" -> """
       SELECT count(*) FILTER (WHERE try_cast(props AS JSON) IS NULL) AS n_bad_json,

@@ -61,6 +61,7 @@ object SpecCompiler {
     "items" -> 44, "prefixItems" -> 45, "contains" -> 47,
     "dependentSchemas" -> 48,
     "allOf" -> 50, "anyOf" -> 51, "oneOf" -> 52, "not" -> 53, "if" -> 54,
+    "unevaluatedProperties" -> 60, "unevaluatedItems" -> 61,
     "$ref" -> 70, "false" -> 0,
   )
 
@@ -490,6 +491,75 @@ object SpecCompiler {
       add("dependentSchemas", outerNullSafe(pred),
         concat(rendered, lit(s""" does not satisfy the schema dependent on "$key"""")))
     }
+
+    // ---- unevaluatedProperties (`keywords/unevaluated_properties.rs`) —
+    // a property is "evaluated" if matched by properties /
+    // patternProperties / additionalProperties at this level, or by any
+    // in-place applicator branch that successfully applies (annotations
+    // flow only from valid subschemas). Static field set ⇒ the branch
+    // conditions are the only dynamic part.
+    s.unevaluatedProperties.foreach { usub =>
+      st.fieldNames.foreach { f =>
+        val cond = evaluatedCond(s, t, st, f, ctx, includeSelfUneval = false)
+        if (!isTrueLit(cond)) {
+          val pred = usub match {
+            case Spec.Reject => cond || !present(f)
+            case sub =>
+              val subPred = compile(sub,
+                Target(fieldCol(f), field(f).get.dataType, s"${t.path}/$f"),
+                s"$sp/unevaluatedProperties", ctx)
+                .map(_.predicate).foldLeft(lit(true))(_ && _)
+              cond || subPred
+          }
+          add("unevaluatedProperties", outerNullSafe(pred),
+            lit(s"""Unevaluated properties are not allowed ('$f' was unexpected)"""))
+        }
+      }
+    }
+  }
+
+  /** Is field `f` evaluated by schema `s` (applied to target `t`)?
+    * `includeSelfUneval=false` at the level whose own unevaluatedProperties
+    * is being compiled (it applies to the leftovers, it doesn't cover). */
+  private def evaluatedCond(s: Spec.Obj, t: Target, st: StructType,
+                            f: String, ctx: Ctx,
+                            includeSelfUneval: Boolean = true): Column = {
+    def branchCond(sub: Spec): Column = sub match {
+      case Spec.Accept => lit(false)
+      case Spec.Reject => lit(false)
+      case o: Spec.Obj =>
+        val evaluatesF = evaluatedCond(o, t, st, f, ctx)
+        if (isTrueLit(evaluatesF)) predOf(sub, t, ctx)
+        else predOf(sub, t, ctx) && evaluatesF
+      case _ => lit(false)
+    }
+    val static =
+      s.properties.exists(_._1 == f) ||
+      s.patternProperties.exists { case (p, _) =>
+        java.util.regex.Pattern.compile(EcmaRegex.compile(p)).matcher(f).find()
+      } ||
+      s.additionalProperties.nonEmpty ||
+      (includeSelfUneval && s.unevaluatedProperties.nonEmpty)
+    if (static) lit(true)
+    else {
+      val branches = Vector.newBuilder[Column]
+      s.allOf.foreach(b => branches += branchCond(b))
+      s.anyOf.foreach(b => branches += branchCond(b))
+      s.oneOf.foreach(b => branches += branchCond(b))
+      s.ref.flatMap(resolveRef(_, ctx)).foreach(r => branches += branchCond(r))
+      s.ifSpec.foreach { i =>
+        val ip = predOf(i, t, ctx)
+        branches += branchCond(i)
+        s.thenSpec.foreach(th => branches += (ip && branchCond(th)))
+        s.elseSpec.foreach(el => branches += (!ip && branchCond(el)))
+      }
+      s.dependentSchemas.foreach { case (_, sub) => branches += branchCond(sub) }
+      val bs = branches.result().filterNot(c =>
+        graft.functions.exprs.toExpr(c) ==
+          org.apache.spark.sql.catalyst.expressions.Literal(false,
+            org.apache.spark.sql.types.BooleanType))
+      if (bs.isEmpty) lit(false) else bs.reduce(_ || _)
+    }
   }
 
   // ---- object keywords over a MapType column (dynamic keys) -----------
@@ -606,5 +676,63 @@ object SpecCompiler {
           concat(lit("None of "), rendered, lit(" are valid under the given schema")))
       }
     }
+
+    // ---- unevaluatedItems (`keywords/unevaluated_items.rs`) — an element
+    // is evaluated if covered by prefixItems/items/contains at this level
+    // or by a successfully-applied in-place branch; the leftover elements
+    // must satisfy the unevaluatedItems subschema.
+    s.unevaluatedItems.foreach { usub =>
+      val cov = itemCoverage(s, t, et, ctx, includeSelfUneval = false)
+      val uPred: Column => Column = usub match {
+        case Spec.Reject => _ => lit(false)
+        case sub => elemPred(sub)
+      }
+      def containsMatch(x: Column): Column =
+        cov.containsConds.map { case (cond, p) => cond && p(x) }
+          .foldLeft(lit(false))(_ || _)
+      val leftover = filter(c, (x, i) => i >= cov.prefixLen && !containsMatch(x))
+      val p = cov.allCovered || forall(leftover, uPred)
+      add("unevaluatedItems", ns(p),
+        concat(lit("Unevaluated items are not allowed in "), rendered))
+    }
+  }
+
+  private final case class ItemCoverage(allCovered: Column, prefixLen: Column,
+                                        containsConds: Vector[(Column, Column => Column)])
+
+  /** Which elements of the array target does schema `s` evaluate? */
+  private def itemCoverage(s: Spec.Obj, t: Target, et: DataType, ctx: Ctx,
+                           includeSelfUneval: Boolean = true): ItemCoverage = {
+    var all: Column = lit(s.items.nonEmpty ||
+      (includeSelfUneval && s.unevaluatedItems.nonEmpty))
+    var prefix: Column = lit(s.prefixItems.length)
+    var conds = Vector.newBuilder[(Column, Column => Column)]
+    s.contains.foreach { sub =>
+      conds += ((lit(true), (x: Column) => predOf(sub, Target(x, et, s"${t.path}/*"), ctx)))
+    }
+    def addBranch(b: Spec, extraCond: Option[Column]): Unit = b match {
+      case o: Spec.Obj =>
+        val applies = extraCond match {
+          case Some(e) => e && predOf(b, t, ctx)
+          case None => predOf(b, t, ctx)
+        }
+        val sub = itemCoverage(o, t, et, ctx)
+        all = all || (applies && sub.allCovered)
+        prefix = greatest(prefix, when(applies, sub.prefixLen).otherwise(lit(0)))
+        sub.containsConds.foreach { case (cnd, p) => conds += ((applies && cnd, p)) }
+      case _ => ()
+    }
+    s.allOf.foreach(addBranch(_, None))
+    s.anyOf.foreach(addBranch(_, None))
+    s.oneOf.foreach(addBranch(_, None))
+    s.ref.flatMap(resolveRef(_, ctx)).foreach(addBranch(_, None))
+    s.ifSpec.foreach { i =>
+      val ip = predOf(i, t, ctx)
+      addBranch(i, None)
+      s.thenSpec.foreach(addBranch(_, Some(ip)))
+      s.elseSpec.foreach(addBranch(_, Some(!ip)))
+    }
+    s.dependentSchemas.foreach { case (_, sub) => addBranch(sub, None) }
+    ItemCoverage(all, prefix, conds.result())
   }
 }

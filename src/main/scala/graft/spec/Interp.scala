@@ -78,6 +78,10 @@ object Interp {
           } &&
           s.dependentSchemas.forall { case (key, sub) =>
             !o.toMap.contains(key) || ok(sub, v)
+          } &&
+          s.unevaluatedProperties.forall { u =>
+            val ev = evaluatedProps(s, o, ctx, st, includeSelfUneval = false)
+            o.fields.forall { case (k, value) => ev.contains(k) || ok(u, value) }
           }
         } &&
         arrCheck(v) { a =>
@@ -95,7 +99,13 @@ object Interp {
             case Some(c) =>
               val n = a.count(ok(c, _))
               n >= s.minContains.getOrElse(1L) && s.maxContains.forall(n <= _)
-          })
+          }) &&
+          s.unevaluatedItems.forall { u =>
+            val (allCov, prefix, contains) = itemCov(s, v, ctx, st, includeSelfUneval = false)
+            allCov || a.zipWithIndex.forall { case (x, i) =>
+              i < prefix || contains.exists(p => ok(p, x)) || ok(u, x)
+            }
+          }
         } &&
         s.allOf.forall(ok(_, v)) &&
         (s.anyOf.isEmpty || s.anyOf.exists(ok(_, v))) &&
@@ -108,6 +118,66 @@ object Interp {
             else s.elseSpec.forall(ok(_, v))
         })
     }
+
+  /** Properties of `o` evaluated by `s` (annotation flow: contributions
+    * only from valid in-place subschemas). */
+  private def evaluatedProps(s: Spec.Obj, o: JObj, ctx: RootCtx,
+                             stack: List[(Spec, JsonValue)],
+                             includeSelfUneval: Boolean): Set[String] = {
+    val keys = o.fields.map(_._1).toSet
+    var out = Set.empty[String]
+    if (s.additionalProperties.nonEmpty || (includeSelfUneval && s.unevaluatedProperties.nonEmpty))
+      out ++= keys
+    out ++= s.properties.map(_._1).filter(keys.contains)
+    s.patternProperties.foreach { case (p, _) =>
+      val re = java.util.regex.Pattern.compile(EcmaRegex.translate(p))
+      out ++= keys.filter(k => re.matcher(k).find())
+    }
+    def branch(b: Spec): Unit = b match {
+      case bo: Spec.Obj if valid(b, o, ctx, stack) =>
+        out ++= evaluatedProps(bo, o, ctx, stack, includeSelfUneval = true)
+      case Spec.Accept => () // accepts but evaluates nothing
+      case _ => ()
+    }
+    s.allOf.foreach(branch); s.anyOf.foreach(branch); s.oneOf.foreach(branch)
+    s.ref.foreach(r => resolveRef(r, ctx).foreach(branch))
+    s.ifSpec.foreach { i =>
+      if (valid(i, o, ctx, stack)) { branch(i); s.thenSpec.foreach(branch) }
+      else s.elseSpec.foreach(branch)
+    }
+    s.dependentSchemas.foreach { case (k, sub) =>
+      if (o.toMap.contains(k)) branch(sub)
+    }
+    out
+  }
+
+  /** (allCovered, prefixLen, containsSpecs) for unevaluatedItems. */
+  private def itemCov(s: Spec.Obj, v: JsonValue, ctx: RootCtx,
+                      stack: List[(Spec, JsonValue)],
+                      includeSelfUneval: Boolean): (Boolean, Int, Vector[Spec]) = {
+    var all = s.items.nonEmpty || (includeSelfUneval && s.unevaluatedItems.nonEmpty)
+    var prefix = s.prefixItems.length
+    var contains = s.contains.toVector
+    def branch(b: Spec): Unit = b match {
+      case bo: Spec.Obj if valid(b, v, ctx, stack) =>
+        val (a2, p2, c2) = itemCov(bo, v, ctx, stack, includeSelfUneval = true)
+        all ||= a2; prefix = math.max(prefix, p2); contains ++= c2
+      case _ => ()
+    }
+    s.allOf.foreach(branch); s.anyOf.foreach(branch); s.oneOf.foreach(branch)
+    s.ref.foreach(r => resolveRef(r, ctx).foreach(branch))
+    s.ifSpec.foreach { i =>
+      if (valid(i, v, ctx, stack)) { branch(i); s.thenSpec.foreach(branch) }
+      else s.elseSpec.foreach(branch)
+    }
+    s.dependentSchemas.foreach { case (k, sub) =>
+      v match {
+        case o: JObj if o.toMap.contains(k) => branch(sub)
+        case _ => ()
+      }
+    }
+    (all, prefix, contains)
+  }
 
   private def typeMatches(ts: Set[JsonType], v: JsonValue): Boolean = {
     val t = v.jsonType

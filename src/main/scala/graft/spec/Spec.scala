@@ -58,6 +58,8 @@ object Spec {
       ifSpec: Option[Spec] = None,
       thenSpec: Option[Spec] = None,
       elseSpec: Option[Spec] = None,
+      unevaluatedProperties: Option[Spec] = None,
+      unevaluatedItems: Option[Spec] = None,
       ref: Option[String] = None,
       defs: Map[String, Spec] = Map.empty,
   ) extends Spec {
@@ -145,8 +147,30 @@ object Spec {
           case po: JObj => s = s.copy(dependentSchemas = po.fields.map { case (p, d) => p -> parse(d) })
           case _ => throw new SpecError("dependentSchemas expects an object")
         }
-        case "items" => s = s.copy(items = Some(parse(v)))
+        case "items" => v match {
+          // drafts <= 7 array form: items:[s1,s2] == prefixItems (legacy
+          // dialect collapse, SURVEY §2.2)
+          case JArr(_) => s = s.copy(prefixItems = specArr(v, k))
+          case _ => s = s.copy(items = Some(parse(v)))
+        }
+        case "additionalItems" =>
+          // legacy: elements beyond the tuple prefix — 2020-12 `items`
+          if (s.items.isEmpty) s = s.copy(items = Some(parse(v)))
+        case "dependencies" => v match {
+          // legacy split: array value -> dependentRequired, schema value ->
+          // dependentSchemas (`keywords/dependencies.rs:15`)
+          case po: JObj =>
+            po.fields.foreach {
+              case (p, JArr(deps)) =>
+                s = s.copy(dependentRequired = s.dependentRequired :+ (p -> deps.map(str(_, k))))
+              case (p, d) =>
+                s = s.copy(dependentSchemas = s.dependentSchemas :+ (p -> parse(d)))
+            }
+          case _ => throw new SpecError("dependencies expects an object")
+        }
         case "prefixItems" => s = s.copy(prefixItems = specArr(v, k))
+        case "unevaluatedProperties" => s = s.copy(unevaluatedProperties = Some(parse(v)))
+        case "unevaluatedItems" => s = s.copy(unevaluatedItems = Some(parse(v)))
         case "minItems" => s = s.copy(minItems = Some(nonNegInt(v, k)))
         case "maxItems" => s = s.copy(maxItems = Some(nonNegInt(v, k)))
         case "uniqueItems" => v match {

@@ -79,7 +79,9 @@ object TableChecks {
                             dim: DataFrame, pkCols: Seq[String],
                             broadcastDim: Boolean = true): DataFrame = {
     val d = dim.select(pkCols.map(col): _*).distinct()
-    val right = if (broadcastDim) broadcast(d) else d
+    // broadcast for small dims; explicit merge hint for large ones (at
+    // test scale Catalyst would auto-broadcast and hide the SMJ path)
+    val right = if (broadcastDim) broadcast(d) else d.hint("merge")
     val cond = fkCols.zip(pkCols).map { case (f, p) => df(f) <=> right(p) }.reduce(_ && _)
     df.join(right, cond, "left_anti")
   }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.spec._
+import graft.run.Validation
+
+/** Coverage of the reference's document-level API verbs (SURVEY §2.4). */
+class ApiVerbsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dereference inlines local refs into a self-contained spec") {
+    val spec = Spec.parseJson(
+      """{"$defs":{"pos":{"minimum":0}},"properties":{"x":{"$ref":"#/$defs/pos"}}}""")
+    val d = Bundler.dereference(spec).asInstanceOf[Spec.Obj]
+    assert(d.defs.isEmpty)
+    val xSpec = d.properties.head._2.asInstanceOf[Spec.Obj]
+    assert(xSpec.ref.isEmpty)
+    assert(xSpec.allOf == Vector(Spec.Obj(minimum = Some(BigDecimal(0)))))
+    // acceptance unchanged
+    for (v <- Seq(JNum(BigDecimal(5)), JNum(BigDecimal(-5)))) {
+      val in = JObj(Vector("x" -> v))
+      assert(Interp.isValid(spec, in) == Interp.isValid(d, in))
+    }
+  }
+
+  test("dereference keeps cyclic refs in place") {
+    val spec = Spec.parseJson(
+      """{"$defs":{"loop":{"$ref":"#/$defs/loop"}},"properties":{"x":{"$ref":"#/$defs/loop"}}}""")
+    Bundler.dereference(spec) // must terminate
+  }
+
+  test("validatorMap: root plan plus per-column sub-plans") {
+    val df = Seq((1, "abc"), (-1, "x")).toDF("a", "b")
+    val m = Validation.validatorMap(
+      """{"properties":{"a":{"minimum":0},"b":{"minLength":2}},"required":["a"]}""",
+      df.schema)
+    assert(m.keySet == Set("", "/properties/a", "/properties/b"))
+    val got = m("/properties/a").withValid(df).select("valid").as[Boolean].collect()
+    assert(got.sameElements(Array(true, false)))
+    assert(!m("").isValid(df))
+  }
+
+  test("evaluate output formats: flag, list, hierarchical") {
+    val df = Seq((1, "abc"), (-1, "x")).toDF("a", "b")
+    val plan = Validation.compile(
+      """{"properties":{"a":{"minimum":0},"b":{"minLength":2}}}""", df.schema)
+    val flag = df.select(plan.evaluationCol("flag").as("e")).collect()
+    assert(flag(0).getStruct(0).getBoolean(0) && !flag(1).getStruct(0).getBoolean(0))
+    val list = df.select(plan.evaluationCol("list").as("e")).collect()
+    val details = list(1).getStruct(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(details.length == 2 && details.forall(!_.getBoolean(3)))
+    val hier = df.select(plan.evaluationCol("hierarchical").as("e")).collect()
+    val groups = hier(1).getStruct(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(groups.map(_.getString(0)).toSet == Set("/a", "/b"))
+  }
+
+  test("firstError is fail-fast in priority order") {
+    val df = Seq(("x", -5)).toDF("s", "n")
+    // type (priority 1) fires before minimum (priority 10)
+    val plan = Validation.compile(
+      """{"properties":{"s":{"type":"integer"},"n":{"minimum":0}}}""", df.schema)
+    val first = df.select(plan.firstErrorCol.as("e")).collect()(0).getStruct(0)
+    assert(first.getString(0) == "type")
+  }
+}

@@ -13,7 +13,7 @@ class OfficialSuiteSpec extends AnyFunSuite {
 
   val files = Seq("type.json", "numeric.json", "string.json", "enum_const.json",
     "object.json", "array.json", "combinators.json", "conditional.json",
-    "ref.json", "format.json")
+    "ref.json", "format.json", "unevaluated.json")
 
   var skipped = 0
 

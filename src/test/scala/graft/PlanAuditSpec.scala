@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.run.Validation
+import graft.table.TableChecks
+import graft.ann.Ann
+
+/** Physical-plan audits: the plans we'd want at 100TB, not just plans
+  * that pass (builder prompt: ".explain the plan and iterate"). */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("column pruning: violations over a 2-column spec reads only 3 columns") {
+    val plan = Validation.compile(
+      """{"properties":{"o_totalprice":{"maximum":200000}},"required":["o_custkey"]}""",
+      orders.schema)
+    val q = plan.violations(orders, Seq("o_orderkey"))
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    val readCols = readSchema.split(",").map(_.split(":")(0).trim).toSet
+    assert(readCols == Set("o_orderkey", "o_custkey", "o_totalprice"), readSchema)
+  }
+
+  test("columnStats reads only the requested columns") {
+    val q = TableChecks.columnStats(orders, Seq("o_custkey"))
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(readSchema.trim == "o_custkey:bigint", readSchema)
+  }
+
+  test("brute-force top-k plans as TakeOrdered, not a global sort") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Ann.topKCosine(emb, "embedding", "vec_id", Array.fill(64)(0.1f), 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("referential check: broadcast flag yields BroadcastHashJoin, shuffle path avoids it") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val bPlan = TableChecks.referentialViolations(orders, Seq("o_custkey"), cust, Seq("c_custkey"),
+      broadcastDim = true).queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    // non-broadcast path must not rely on the driver collecting the dim
+    val sPlan = TableChecks.referentialViolations(orders, Seq("o_custkey"), cust, Seq("c_custkey"),
+      broadcastDim = false).queryExecution.sparkPlan.toString
+    assert(sPlan.contains("SortMergeJoin") || sPlan.contains("ShuffledHashJoin"), sPlan)
+  }
+
+  test("salted uniqueness: two aggregation levels, partial aggregation present") {
+    val q = TableChecks.uniquenessViolations(orders, Seq("o_custkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    // phase 1 (key, salt) agg + phase 2 (key) agg, each with partial_
+    assert("partial_".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("validation predicates stay inside whole-stage codegen") {
+    val plan = Validation.compile(
+      """{"properties":{"o_totalprice":{"maximum":200000},"o_orderpriority":{"pattern":"^[1-5]-"}}}""",
+      orders.schema)
+    val q = plan.withValidation(orders)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p) // WholeStageCodegen stage marker
+  }
+}
