@@ -139,8 +139,12 @@ object TextOps {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    // persist = a materialization boundary: without it Catalyst inlines
+    // the whole regex/shingle pipeline into the post-join jaccard filter
+    // and every candidate pair recomputes it (observed hang at 5k docs)
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist()
     // candidate generation shuffles only (id, band, band_hash) — the fat
     // shingle arrays are joined back ONLY for the deduped candidates
     val banded = docs
@@ -169,6 +173,7 @@ object TextOps {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
+      .persist()
     val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val a = inv.alias("a"); val b = inv.alias("b")
     a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -197,7 +202,9 @@ object TextOps {
     * chunk, verify with exact hamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+    // materialize: keeps the tokenize+simhash pipeline out of the
+    // per-candidate-pair hamming filter (see minhashNearDups)
+    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h")).persist()
     val chunks = withH.select(col("id"), col("h"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
