@@ -66,15 +66,24 @@ object Bench {
     val clipsPerSec = rows / clipSec
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
     results("clips_full_suite") = clipSec
+    status("clips_full_suite") = "ok"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a crashing query must NOT report as a fast time — record its status
+      try { fn(spark, sfDir).count(); status(name) = "ok" }
+      catch { case e: Throwable =>
+        status(name) = s"error:${e.getClass.getSimpleName}"
+        System.err.println(s"[bench] $name failed: $e")
+      }
       results(name) = (System.nanoTime() - t) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val st = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f}""")
+    val nErr = status.values.count(_ != "ok")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"status":$st,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f}""")
     spark.stop()
   }
 }

@@ -106,13 +106,17 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
-    // -- distribution drift: PSI + KS between two cohorts ----------------
+    // -- distribution drift: PSI + KS between two cohorts (ONE scan: the
+    //    per-cohort histograms come from a single grouped aggregation) ----
     "q_drift_price_by_status" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
-      def hist(status: String) =
-        TableChecks.histogram(orders.where(col("o_orderstatus") === status),
-            "o_totalprice", 0d, 600000d, 12)
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = TableChecks.histogramBy(
+          orders.where(col("o_orderstatus").isin("O", "F")),
+          "o_totalprice", 0d, 600000d, 12, "o_orderstatus")
+        .collect()
+      def hist(status: String) = rows
+        .filter(_.getString(1) == status)
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
       val cur = hist("O"); val base = hist("F")
       val p = TableChecks.psi(cur, base); val k = TableChecks.ks(cur, base)
       val bd = BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP)
@@ -122,10 +126,12 @@ object SparkEntry {
     }),
 
     // -- text: token counting ---------------------------------------------
+    // n_tokens cast to long: DuckDB len() yields BIGINT and the driver's
+    // hash does not normalize int32 vs int64 (CORRECTNESS_r01 dtype red)
     "q_docs_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         TextOps.subwordCountApprox(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
@@ -177,9 +183,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // -- dedup: SimHash near-dups (no oracle — hash-specific) -------------
+    // -- dedup: SimHash near-dups (no oracle — hash-specific). nChunks=13
+    //    gives the pigeonhole FULL-recall guarantee for hamming<=12.
     "q_docs_simhash" -> ((s, dir) => {
-      TextOps.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)
+      TextOps.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 12, nChunks = 13)
         .orderBy("id_a", "id_b")
     }),
 
@@ -202,15 +210,19 @@ object SparkEntry {
     }),
 
     // -- classic OLAP: aggregation with exact decimal sums ----------------
+    // sums computed exactly in decimal, emitted as double: Spark's sum
+    // widens to decimal(28,2)/(34,4) while DuckDB widens to (38,*), and the
+    // driver's hash does not normalize decimal precision (CORRECTNESS_r01
+    // dtype red). decimal→double is IEEE round-to-nearest on both engines.
     "q_agg_lineitem_pricing" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
           sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast(DecimalType(24, 4))).as("sum_disc_price"),
+            .cast(DecimalType(24, 4))).cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -248,12 +260,19 @@ object SparkEntry {
         round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
     }),
 
-    // -- mergeable quantile sketch (no oracle — approx, GK/KLL-family) -----
+    // -- mergeable quantile sketch (no oracle — approx, GK/KLL-family).
+    //    Flattened to scalar rows (col_name, q, value): the array<double>
+    //    form crashed the driver's pandas sort (CORRECTNESS_r01 err).
     "q_quantiles_sketch" -> ((s, dir) => {
+      val qs = Seq(0.5, 0.95, 0.99)
       TableChecks.quantileSketch(t(s, dir, "lineitem"),
-          Seq("l_extendedprice", "l_quantity"), Seq(0.5, 0.95, 0.99))
-        .select(col("column").as("col_name"), col("quantiles"))
-        .orderBy("col_name")
+          Seq("l_extendedprice", "l_quantity"), qs)
+        .select(col("column").as("col_name"),
+          posexplode(col("quantiles")).as(Seq("pos", "value")))
+        .select(col("col_name"),
+          element_at(typedlit(qs), col("pos").cast(IntegerType) + 1).as("q"),
+          round(col("value"), 4).as("value"))
+        .orderBy("col_name", "q")
     }),
 
     // -- contentMediaType application/json + field extraction -------------
@@ -479,9 +498,9 @@ object SparkEntry {
 
     "q_agg_lineitem_pricing" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-             sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-             sum((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(24,4)) AS sum_disc_price,
+             sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+             sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+             sum((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(24,4))::DOUBLE AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",

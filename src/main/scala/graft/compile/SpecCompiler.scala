@@ -208,10 +208,13 @@ object SpecCompiler {
     s.ref.foreach { r =>
       val key = (r, t.path)
       if (!ctx.refStack.contains(key)) {
-        resolveRef(r, ctx).foreach { rs =>
-          val sub = compile(rs, t, refSchemaPath(r), ctx.copy(refStack = key :: ctx.refStack))
-          out ++= sub
-        }
+        // an unresolvable $ref must fail at BUILD time like the reference
+        // (compiler.rs rejects unknown references) — silently compiling to
+        // "no checks" would let a typo'd $ref disable validation
+        val rs = resolveRef(r, ctx).getOrElse(
+          throw new SpecError(s"unresolvable $$ref: $r (external refs and anchors " +
+            "outside #/$defs are not supported)"))
+        out ++= compile(rs, t, refSchemaPath(r), ctx.copy(refStack = key :: ctx.refStack))
       } // structure-free cycle ⇒ accept (validator.rs:62-115 analog)
     }
 
@@ -281,16 +284,17 @@ object SpecCompiler {
       s.exclusiveMaximum.foreach(m => add("exclusiveMaximum",
         coalesce(c < numLit(m), lit(true)),
         concat(rendered, lit(s" is greater than or equal to the maximum of ${renderNum(m)}"))))
-      // multipleOf (`keywords/multiple_of.rs`): exact decimal remainder —
-      // double % double would hit fp error (0.0075 % 0.0001).
+      // multipleOf (`keywords/multiple_of.rs`): integral fast path, else an
+      // exact compiled kernel over the f64 values (BigFraction-of-f64
+      // semantics, `jsonschema-value/src/numeric.rs:126-151`) — a
+      // DecimalType(38,15) cast would overflow to null at |x| >= 1e23 and
+      // silently accept, and round away >15 fractional digits.
       s.multipleOf.foreach { m =>
         val pred =
           if (isIntegral(dt) && m.isWhole && m.abs <= BigDecimal(Long.MaxValue))
             coalesce((c % lit(m.toLong)) === lit(0), lit(true))
-          else {
-            val cd = c.cast(DecimalType(38, 15))
-            coalesce((cd % lit(m.underlying())).cast(DoubleType) === lit(0d), lit(true))
-          }
+          else
+            coalesce(graft.functions.exprs.is_multiple_of(c.cast(DoubleType), m.toDouble), lit(true))
         add("multipleOf", pred, concat(rendered, lit(s" is not a multiple of ${renderNum(m)}")))
       }
     }
@@ -474,9 +478,11 @@ object SpecCompiler {
     }
     s.propertyNames.foreach { pn =>
       // field names are static ⇒ evaluate at compile time via the
-      // reference-faithful interpreter
+      // reference-faithful interpreter. An invalid name only fails rows
+      // where that field is PRESENT (presence = non-null) — consistent
+      // with additionalProperties:false.
       st.fieldNames.filterNot(n => Interp.isValid(pn, JStr(n))).foreach { n =>
-        add("propertyNames", when(c.isNull, lit(true)).otherwise(lit(false)),
+        add("propertyNames", outerNullSafe(!present(n)),
           lit(s""""$n" is not a valid property name"""))
       }
     }

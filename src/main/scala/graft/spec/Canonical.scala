@@ -17,11 +17,19 @@ package graft.spec
   */
 object Canonical {
 
-  def canonicalize(s: Spec): Spec = s match {
+  def canonicalize(s: Spec): Spec =
+    canon(s, annotationsMatter = containsUnevaluated(s))
+
+  /** `annotationsMatter`: the document carries unevaluatedProperties /
+    * unevaluatedItems somewhere, so rewrites that drop SUCCESSFUL branches
+    * (whose annotations feed the evaluated-set) are disabled — e.g. anyOf
+    * Accept-dominance would un-evaluate properties matched by sibling
+    * branches and flip an unevaluatedProperties:false verdict. */
+  private def canon(s: Spec, annotationsMatter: Boolean): Spec = s match {
     case Spec.Accept => Spec.Accept
     case Spec.Reject => Spec.Reject
     case o: Spec.Obj =>
-      val folded = foldAllOf(recurse(o))
+      val folded = foldAllOf(recurse(o, annotationsMatter))
       if (isContradictory(folded)) Spec.Reject
       else {
         val c = constEquivalence(dedupEnum(folded))
@@ -29,33 +37,54 @@ object Canonical {
       }
   }
 
-  private def recurse(o: Spec.Obj): Spec.Obj = o.copy(
-    properties = o.properties.map { case (k, v) => k -> canonicalize(v) },
-    patternProperties = o.patternProperties.map { case (k, v) => k -> canonicalize(v) },
-    additionalProperties = o.additionalProperties.map(canonicalize),
-    propertyNames = o.propertyNames.map(canonicalize),
-    dependentSchemas = o.dependentSchemas.map { case (k, v) => k -> canonicalize(v) },
-    items = o.items.map(canonicalize),
-    prefixItems = o.prefixItems.map(canonicalize),
-    contains = o.contains.map(canonicalize),
-    allOf = o.allOf.map(canonicalize),
-    anyOf = simplifyAnyOf(o.anyOf.map(canonicalize)),
+  /** Does any subschema carry unevaluatedProperties/unevaluatedItems? */
+  def containsUnevaluated(s: Spec): Boolean = s match {
+    case o: Spec.Obj =>
+      o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
+        subschemas(o).exists(containsUnevaluated)
+    case _ => false
+  }
+
+  /** All direct subschemas of an Obj (applicators + combinators + defs). */
+  def subschemas(o: Spec.Obj): Vector[Spec] =
+    o.properties.map(_._2) ++ o.patternProperties.map(_._2) ++
+      o.additionalProperties ++ o.propertyNames ++
+      o.dependentSchemas.map(_._2) ++ o.items ++ o.prefixItems ++
+      o.contains ++ o.allOf ++ o.anyOf ++ o.oneOf ++ o.not ++
+      o.unevaluatedProperties ++ o.unevaluatedItems ++
+      o.ifSpec ++ o.thenSpec ++ o.elseSpec ++ o.defs.values
+
+  private def recurse(o: Spec.Obj, am: Boolean): Spec.Obj = o.copy(
+    properties = o.properties.map { case (k, v) => k -> canon(v, am) },
+    patternProperties = o.patternProperties.map { case (k, v) => k -> canon(v, am) },
+    additionalProperties = o.additionalProperties.map(canon(_, am)),
+    propertyNames = o.propertyNames.map(canon(_, am)),
+    dependentSchemas = o.dependentSchemas.map { case (k, v) => k -> canon(v, am) },
+    items = o.items.map(canon(_, am)),
+    prefixItems = o.prefixItems.map(canon(_, am)),
+    contains = o.contains.map(canon(_, am)),
+    allOf = o.allOf.map(canon(_, am)),
+    anyOf = simplifyAnyOf(o.anyOf.map(canon(_, am)), am),
     oneOf = {
-      val c = o.oneOf.map(canonicalize)
+      val c = o.oneOf.map(canon(_, am))
       val live = c.filter(_ != Spec.Reject)
       if (c.nonEmpty && live.isEmpty) Vector(Spec.Reject) else live // sentinel: unsatisfiable
     },
-    not = o.not.map(canonicalize),
-    ifSpec = o.ifSpec.map(canonicalize),
-    thenSpec = o.thenSpec.map(canonicalize),
-    elseSpec = o.elseSpec.map(canonicalize),
-    defs = o.defs.map { case (k, v) => k -> canonicalize(v) },
+    not = o.not.map(canon(_, am)),
+    unevaluatedProperties = o.unevaluatedProperties.map(canon(_, am)),
+    unevaluatedItems = o.unevaluatedItems.map(canon(_, am)),
+    ifSpec = o.ifSpec.map(canon(_, am)),
+    thenSpec = o.thenSpec.map(canon(_, am)),
+    elseSpec = o.elseSpec.map(canon(_, am)),
+    defs = o.defs.map { case (k, v) => k -> canon(v, am) },
   )
 
-  private def simplifyAnyOf(branches: Vector[Spec]): Vector[Spec] = {
+  private def simplifyAnyOf(branches: Vector[Spec], annotationsMatter: Boolean): Vector[Spec] = {
     val live = branches.filter(_ != Spec.Reject)
     if (branches.nonEmpty && live.isEmpty) Vector(Spec.Reject) // all branches dead
-    else if (live.contains(Spec.Accept)) Vector.empty // disjunct true ⇒ no constraint
+    // disjunct true ⇒ no constraint — but dropping successful branches
+    // destroys their annotations, so only when no unevaluated* in scope
+    else if (live.contains(Spec.Accept) && !annotationsMatter) Vector.empty
     else live
   }
 
@@ -90,6 +119,16 @@ object Canonical {
       b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
       b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
       b.not.nonEmpty || b.ifSpec.nonEmpty || b.ref.nonEmpty ||
+      // unevaluated* scope over the member's OWN in-place applicators and
+      // content* has no merge rule — hoisting either changes the accepted
+      // set ({"allOf":[{"unevaluatedProperties":false}]} ≠ dropping it)
+      b.unevaluatedProperties.nonEmpty || b.unevaluatedItems.nonEmpty ||
+      b.contentEncoding.nonEmpty || b.contentMediaType.nonEmpty ||
+      b.defs.nonEmpty ||
+      // a member's minContains/maxContains are no-ops without a `contains`
+      // beside them; hoisting them next to the parent's `contains` would
+      // activate (tighten) them
+      ((b.minContains.nonEmpty || b.maxContains.nonEmpty) && a.contains.nonEmpty) ||
       b.pattern.nonEmpty && a.pattern.nonEmpty ||  // two patterns: keep both
       b.format.nonEmpty && a.format.nonEmpty ||
       b.const.nonEmpty && a.const.nonEmpty ||

@@ -41,7 +41,13 @@ object Interp {
         val st = (spec, v) :: stack
         def ok(sub: Spec, value: JsonValue): Boolean = valid(sub, value, ctx, st)
 
-        s.ref.forall(r => resolveRef(r, ctx).forall(rs => valid(rs, v, ctx, st))) &&
+        s.ref.forall { r =>
+          // unresolvable $ref fails at use like the reference fails at
+          // build — never silently accept (same contract as SpecCompiler)
+          val rs = resolveRef(r, ctx).getOrElse(
+            throw new SpecError(s"unresolvable $$ref: $r"))
+          valid(rs, v, ctx, st)
+        } &&
         s.types.forall(ts => typeMatches(ts, v)) &&
         s.const.forall(c => JsonValue.equal(c, v)) &&
         s.enumVals.forall(_.exists(JsonValue.equal(_, v))) &&

@@ -101,6 +101,22 @@ object TableChecks {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-cohort histogram in ONE scan: (bucket, group, cnt) for each value
+    * of `groupCol` — the drift input for comparing cohorts without
+    * re-scanning the table per cohort. Same bucket layout as `histogram`. */
+  def histogramBy(df: DataFrame, c: String, lo: Double, hi: Double, buckets: Int,
+                  groupCol: String): DataFrame = {
+    require(hi > lo && buckets > 0)
+    val w = (hi - lo) / buckets
+    val b = when(col(c).isNull, lit(null))
+      .when(col(c) < lo, lit(-1L))
+      .when(col(c) >= hi, lit(buckets.toLong))
+      .otherwise(floor((col(c) - lit(lo)) / lit(w)))
+      .cast(LongType).as("bucket")
+    df.select(b, col(groupCol).as("group")).where(col("bucket").isNotNull)
+      .groupBy("bucket", "group").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Population Stability Index between two histograms over the same
     * buckets. Inputs are tiny (O(buckets)) — collected and computed on
     * the driver, like the reference computes final verdicts after

@@ -60,6 +60,16 @@ class AuditStreamingSpec extends AnyFunSuite {
       Seq("o_orderkey"), failAfterUnits = 0)
     assert(again.resumedUnits == again.units.size)
     assert(again.rows == expectRows)
+
+    // resume with a DIFFERENT plan under the same runId must fail loudly
+    // (stale commits carry the old plan_fingerprint)
+    val otherPlan = Validation.compile(
+      """{"properties":{"o_orderkey":{"minimum":100}}}""", df.schema)
+    val mismatch = intercept[IllegalStateException] {
+      CheckpointedRun.run(spark, tableDir, otherPlan, auditDir, "run1",
+        Seq("o_orderkey"), failAfterUnits = 0)
+    }
+    assert(mismatch.getMessage.contains("plan_fingerprint"))
   }
 
   // readStream needs a directory source

@@ -63,6 +63,33 @@ class CanonicalSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("allOf folding keeps unevaluated*/content* members (r1 ADVICE regression)") {
+    // {"allOf":[{"unevaluatedProperties":false}]} must NOT become Accept
+    val got = canon("""{"allOf":[{"unevaluatedProperties":false}]}""")
+    assert(got != Spec.Accept)
+    val o = got.asInstanceOf[Spec.Obj]
+    assert(o.unevaluatedProperties.contains(Spec.Reject) ||
+      o.allOf.exists { case m: Spec.Obj => m.unevaluatedProperties.nonEmpty; case _ => false })
+    // content keywords survive too
+    val ce = canon("""{"allOf":[{"contentEncoding":"base64"}]}""")
+    assert(ce != Spec.Accept)
+    // and a member's minContains is not hoisted next to a parent contains
+    val mc = canon("""{"contains":{"minimum":0},"allOf":[{"minContains":2}]}""")
+      .asInstanceOf[Spec.Obj]
+    assert(mc.minContains.isEmpty, "minContains must stay in the member (no-op there)")
+  }
+
+  test("anyOf Accept-dominance disabled when unevaluated* is in scope") {
+    val spec = """{"anyOf":[{},{"properties":{"a":{"type":"string"}}}],
+                   "unevaluatedProperties": false}"""
+    val orig = Spec.parseJson(spec)
+    val c = Canonical.canonicalize(orig)
+    // instance {"a":"x"}: branch 2 evaluates "a" → accepted; dropping the
+    // anyOf would leave "a" unevaluated → rejected
+    val inst = JObj(Vector("a" -> JStr("x")))
+    assert(Interp.isValid(orig, inst) == Interp.isValid(c, inst))
+  }
+
   test("allOf with combinator members stays as allOf") {
     val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
       .asInstanceOf[Spec.Obj]

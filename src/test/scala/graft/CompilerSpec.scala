@@ -72,6 +72,36 @@ class CompilerSpec extends AnyFunSuite {
     assert(got.sameElements(Array(true, false)))
   }
 
+  test("multipleOf huge values don't silently pass (decimal-cast overflow regression)") {
+    // 1e23 overflows DecimalType(38,15); with the compiled kernel the
+    // verdict is computed exactly instead of vacuously accepted
+    val df = Seq(1e23, 1.5e23).toDF("x")
+    val plan = Validation.compile("""{"properties":{"x":{"multipleOf":1e23}}}""", df.schema)
+    val got = plan.withValid(df).select("valid").as[Boolean].collect()
+    assert(got(0), "1e23 is a multiple of 1e23")
+    assert(!got(1), "1.5e23 is not a multiple of 1e23")
+  }
+
+  test("propertyNames: invalid field name only fails rows where it is present") {
+    val df = Seq(("k", Integer.valueOf(1)), ("k2", null.asInstanceOf[Integer]))
+      .toDF("ok", "bad_name")
+    val plan = Validation.compile(
+      """{"propertyNames":{"maxLength":3}}""", df.schema)
+    val got = plan.withValid(df).select("valid").as[Boolean].collect()
+    assert(!got(0), "bad_name present → propertyNames fails")
+    assert(got(1), "bad_name absent (null) → passes")
+  }
+
+  test("unresolvable $ref fails at compile time, not silently accepts") {
+    val df = Seq(1).toDF("x")
+    intercept[graft.spec.SpecError] {
+      Validation.compile("""{"properties":{"x":{"$ref":"#/$defs/nope"}}}""", df.schema)
+    }
+    intercept[graft.spec.SpecError] {
+      Validation.compile("""{"properties":{"x":{"$ref":"https://example.com/s.json"}}}""", df.schema)
+    }
+  }
+
   test("integral double counts as integer (1.0 is an integer)") {
     val df = Seq(1.0, 1.5).toDF("x")
     val plan = Validation.compile("""{"properties":{"x":{"type":"integer"}}}""", df.schema)

@@ -24,10 +24,17 @@ class PropertySpec extends AnyFunSuite {
     Gen.oneOf(true, false).map(JBool(_)),
     Gen.const(JNull))
 
+  val genObjValue: Gen[JsonValue] = for {
+    a <- genScalar
+    withB <- Gen.oneOf(true, false)
+    b <- genScalar
+  } yield if (withB) JObj(Vector("a" -> a, "b" -> b)) else JObj(Vector("a" -> a))
+
   val genValue: Gen[JsonValue] = Gen.frequency(
     5 -> genScalar,
     2 -> Gen.listOfN(3, genNum).map(xs => JArr(xs.toVector)),
-    1 -> Gen.listOf(Gen.oneOf("a", "b", "ab")).map(xs => JArr(xs.take(3).map(JStr(_)).toVector)))
+    1 -> Gen.listOf(Gen.oneOf("a", "b", "ab")).map(xs => JArr(xs.take(3).map(JStr(_)).toVector)),
+    2 -> genObjValue)
 
   def obj(fields: (String, JsonValue)*): JObj = JObj(fields.toVector)
 
@@ -57,16 +64,50 @@ class PropertySpec extends AnyFunSuite {
 
   def merge(a: JObj, b: JObj): JObj = JObj((a.fields.toMap ++ b.fields.toMap).toVector)
 
-  val genSpec: Gen[JsonValue] = Gen.oneOf[Gen[JsonValue]](
-    genScalarSpec,
-    for (a <- genScalarSpec; b <- genScalarSpec) yield merge(a.asInstanceOf[JObj], b.asInstanceOf[JObj]),
-    for (a <- genScalarSpec; b <- genScalarSpec)
-      yield obj("anyOf" -> JArr(Vector(a, b))),
-    for (a <- genScalarSpec; b <- genScalarSpec)
-      yield obj("oneOf" -> JArr(Vector(a, b))),
-    genScalarSpec.map(s => obj("not" -> s)),
-    for (i <- genScalarSpec; t <- genScalarSpec; e <- genScalarSpec)
-      yield obj("if" -> i, "then" -> t, "else" -> e),
+  /** unevaluatedProperties shapes — the keyword class the r1 canonicalizer
+    * bug lived in (allOf folding dropped it); the generator must emit it so
+    * the acceptance-preservation property can catch regressions. */
+  val genUnevalSpec: Gen[JsonValue] = for {
+    inner <- Gen.oneOf(
+      obj("properties" -> obj("a" -> JBool(true))),
+      obj("properties" -> obj("a" -> JBool(true), "b" -> JBool(true))),
+      obj("required" -> JArr(Vector(JStr("a")))),
+      obj())
+    u <- Gen.oneOf[JsonValue](JBool(false), obj("type" -> JStr("string")))
+    shape <- Gen.choose(0, 2)
+  } yield shape match {
+    case 0 => obj("allOf" -> JArr(Vector(merge(inner, obj("unevaluatedProperties" -> u)))))
+    case 1 => merge(obj("allOf" -> JArr(Vector(inner))), obj("unevaluatedProperties" -> u))
+    case _ => obj("anyOf" -> JArr(Vector(JBool(true), inner)), "unevaluatedProperties" -> u)
+  }
+
+  /** contains + min/maxContains split across allOf members — hoisting
+    * m*Contains next to a parent `contains` must not tighten semantics. */
+  val genContainsSpec: Gen[JsonValue] = for {
+    b <- genBound
+    mn <- Gen.choose(0, 2).map(i => JNum(BigDecimal(i)))
+    mx <- Gen.choose(0, 3).map(i => JNum(BigDecimal(i)))
+    split <- Gen.oneOf(true, false)
+  } yield
+    if (split)
+      obj("contains" -> obj("minimum" -> b),
+        "allOf" -> JArr(Vector(obj("minContains" -> mn, "maxContains" -> mx))))
+    else
+      obj("allOf" -> JArr(Vector(obj("contains" -> obj("minimum" -> b), "minContains" -> mn))),
+        "maxContains" -> mx)
+
+  val genSpec: Gen[JsonValue] = Gen.frequency[Gen[JsonValue]](
+    3 -> genScalarSpec,
+    2 -> (for (a <- genScalarSpec; b <- genScalarSpec) yield merge(a.asInstanceOf[JObj], b.asInstanceOf[JObj])),
+    2 -> (for (a <- genScalarSpec; b <- genScalarSpec)
+      yield obj("anyOf" -> JArr(Vector(a, b)))),
+    2 -> (for (a <- genScalarSpec; b <- genScalarSpec)
+      yield obj("oneOf" -> JArr(Vector(a, b)))),
+    2 -> genScalarSpec.map(s => obj("not" -> s)),
+    2 -> (for (i <- genScalarSpec; t <- genScalarSpec; e <- genScalarSpec)
+      yield obj("if" -> i, "then" -> t, "else" -> e)),
+    2 -> genUnevalSpec,
+    2 -> genContainsSpec,
   ).flatMap(identity)
 
   test("engine verdict == interpreter verdict for generated (spec, instance) pairs") {

@@ -57,6 +57,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") == 0.5)
   }
 
+  test("ngramJaccardPairs df-cap drops hot shingles, keeps discriminative pairs") {
+    // "h1 h2 h3" is a hot shingle shared by ALL docs; docs 1/2 also share
+    // discriminative shingles; doc 3/4 share ONLY the hot shingle
+    val near = "h1 h2 h3 alpha beta gamma delta"
+    val nearB = "h1 h2 h3 alpha beta gamma epsilon"
+    val loner1 = "h1 h2 h3 kappa lambda mu nu"
+    val loner2 = "h1 h2 h3 omega psi chi phi"
+    val df = Seq(Doc(1, near), Doc(2, nearB), Doc(3, loner1), Doc(4, loner2)).toDF()
+    val capped = TextOps.ngramJaccardPairs(df, "id", "text", n = 3,
+      threshold = 0.05, maxDocFreq = 2).collect()
+    // pair (1,2) survives via its non-hot shingles; jaccard is a lower
+    // bound (hot common shingles not counted)
+    val ids = capped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
+    val uncapped = TextOps.ngramJaccardPairs(df, "id", "text", n = 3,
+      threshold = 0.05).collect()
+    val unJ = uncapped.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L).head.getAs[Double]("jaccard")
+    val capJ = capped.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L).head.getAs[Double]("jaccard")
+    assert(capJ <= unJ)
+  }
+
+  test("shingle kernel handles unicode, tabs, and n=1") {
+    val df = Seq(Doc(1, "Héllo\tWörld  FOO"), Doc(2, "one")).toDF()
+    val got = df.select(col("id"), TextOps.shingles(col("text"), 1).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("héllo", "wörld", "foo"))
+    assert(got(2L) == Seq("one"))
+  }
+
   test("simhash: identical docs distance 0, near docs close, far docs far") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 38).map(i => s"w$i").mkString(" ")
