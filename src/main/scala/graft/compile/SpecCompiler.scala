@@ -36,6 +36,11 @@ final case class CompileOptions(
     /** custom content encoding → (col, dtype) → bool pred; analog of
       * `with_content_encoding` (`options.rs:185-290`) — the audio hook. */
     customEncodings: Map[String, (Column, DataType) => Column] = Map.empty,
+    /** assert content* keywords (contentEncoding/contentMediaType/
+      * contentSchema). The 2020-12 spec makes them annotation-only; this
+      * engine is a data-VALIDATION engine so it asserts by default —
+      * set false for strict official-suite conformance. */
+    validateContent: Boolean = true,
 )
 
 /** Compiles a [[Spec]] into null-safe Catalyst predicates over a typed
@@ -55,7 +60,7 @@ object SpecCompiler {
     "minProperties" -> 24, "maxProperties" -> 25, "required" -> 26,
     "uniqueItems" -> 27, "dependentRequired" -> 28,
     "pattern" -> 30, "format" -> 31, "contentEncoding" -> 33,
-    "contentMediaType" -> 34,
+    "contentMediaType" -> 34, "contentSchema" -> 35,
     "properties" -> 40, "patternProperties" -> 41,
     "additionalProperties" -> 42, "propertyNames" -> 43,
     "items" -> 44, "prefixItems" -> 45, "contains" -> 47,
@@ -70,12 +75,23 @@ object SpecCompiler {
   private final case class Ctx(
       root: Spec,
       opts: CompileOptions,
-      refStack: List[(String, String)],
-  ) {
-    lazy val defs: Map[String, Spec] = root match {
-      case o: Spec.Obj => o.defs
-      case _           => Map.empty
-    }
+      refStack: List[(String, String, String)],
+      registry: Registry,
+      res: Registry.Resource,
+      scope: List[Registry.Resource],
+  )
+
+  /** Crossing an `$id` boundary rebases the resolution context and extends
+    * the dynamic scope (compile-time mirror of the reference's evaluation
+    * scope — our unrolling makes it static per compile site). */
+  private def enter(ctx: Ctx, s: Spec.Obj): Ctx = {
+    val r = ctx.registry.resourceOf(s)
+    if (r eq ctx.res) ctx else ctx.copy(res = r, scope = ctx.scope :+ r)
+  }
+
+  private def rootCtx(spec: Spec, opts: CompileOptions): Ctx = {
+    val reg = Registry.build(spec)
+    Ctx(spec, opts, Nil, reg, reg.rootResource, List(reg.rootResource))
   }
 
   /** Compile a spec against a whole table row. The row is modelled as a
@@ -85,14 +101,14 @@ object SpecCompiler {
   def compileRoot(spec: Spec, schema: StructType,
                   opts: CompileOptions = CompileOptions()): Vector[Check] = {
     val rootCol = struct(schema.fieldNames.map(n => col(quoted(n))): _*)
-    val checks = compile(spec, Target(rootCol, schema, ""), "", Ctx(spec, opts, Nil))
+    val checks = compile(spec, Target(rootCol, schema, ""), "", rootCtx(spec, opts))
     checks.sortBy(_.priority)
   }
 
   /** Compile a spec against a single column. */
   def compileColumn(spec: Spec, name: String, dtype: DataType,
                     opts: CompileOptions = CompileOptions()): Vector[Check] = {
-    val checks = compile(spec, Target(col(quoted(name)), dtype, s"/$name"), "", Ctx(spec, opts, Nil))
+    val checks = compile(spec, Target(col(quoted(name)), dtype, s"/$name"), "", rootCtx(spec, opts))
     checks.sortBy(_.priority)
   }
 
@@ -195,7 +211,8 @@ object SpecCompiler {
       case s: Spec.Obj => compileObj(s, t, sp, ctx)
     }
 
-  private def compileObj(s: Spec.Obj, t: Target, sp: String, ctx: Ctx): Vector[Check] = {
+  private def compileObj(s: Spec.Obj, t: Target, sp: String, ctx0: Ctx): Vector[Check] = {
+    val ctx = enter(ctx0, s)
     val c = t.col
     val dt = t.dtype
     val out = Vector.newBuilder[Check]
@@ -204,18 +221,35 @@ object SpecCompiler {
         out += Check(kw, s"$sp/$kw", t.path, priority.getOrElse(kw, 49), pred, msg)
     def rendered: Column = renderValue(c, dt)
 
-    // ---- $ref (priority 70; `keywords/ref_.rs`) ----
-    s.ref.foreach { r =>
-      val key = (r, t.path)
+    // Inline a resolved reference target with cycle bounding: re-entering
+    // the SAME (ref, resource, instance path) means the instance type can't
+    // nest further → accept (validator.rs:62-115 analog; the reference
+    // bounds at run time, we bound at compile time over the fixed schema).
+    def inlineRef(tag: String, r: String, resolved: => (Spec, Ctx)): Unit = {
+      val key = (tag + r, ctx.res.uri, t.path)
       if (!ctx.refStack.contains(key)) {
-        // an unresolvable $ref must fail at BUILD time like the reference
+        // an unresolvable ref must fail at BUILD time like the reference
         // (compiler.rs rejects unknown references) — silently compiling to
-        // "no checks" would let a typo'd $ref disable validation
-        val rs = resolveRef(r, ctx).getOrElse(
-          throw new SpecError(s"unresolvable $$ref: $r (external refs and anchors " +
-            "outside #/$defs are not supported)"))
-        out ++= compile(rs, t, refSchemaPath(r), ctx.copy(refStack = key :: ctx.refStack))
-      } // structure-free cycle ⇒ accept (validator.rs:62-115 analog)
+        // "no checks" would let a typo'd ref disable validation
+        val (rs, rctx) = resolved
+        out ++= compile(rs, t, refSchemaPath(r), rctx.copy(refStack = key :: ctx.refStack))
+      }
+    }
+
+    // ---- $ref / $dynamicRef / $recursiveRef (priority 70; `keywords/ref_.rs`) ----
+    s.ref.foreach { r => inlineRef("", r, resolveRefOrThrow(r, ctx)) }
+    s.dynamicRef.foreach { r =>
+      inlineRef("D:", r,
+        ctx.registry.resolveDynamic(r, ctx.res, ctx.scope) match {
+          case Some((sp2, res)) => (sp2, rebase(ctx, res))
+          case None => throw new SpecError(s"unresolvable $$dynamicRef: $r")
+        })
+    }
+    s.recursiveRef.foreach { r =>
+      inlineRef("R:", r, {
+        val (sp2, res) = ctx.registry.resolveRecursive(ctx.res, ctx.scope)
+        (sp2, rebase(ctx, res))
+      })
     }
 
     // ---- type (`keywords/type_.rs`) ----
@@ -319,29 +353,51 @@ object SpecCompiler {
             concat(rendered, lit(s""" is not a "$f"""")))
         }
       }
-      s.contentEncoding.foreach { enc =>
-        val predOpt: Option[Column] = ctx.opts.customEncodings.get(enc).map(_(c, dt)).orElse {
-          enc match {
-            case "base64" => Some(try_to_binary(c, lit("base64")).isNotNull)
-            case "base64url" =>
-              Some(try_to_binary(translate(c, "-_", "+/"), lit("base64")).isNotNull)
-            case "base16" => Some(try_to_binary(c, lit("hex")).isNotNull)
-            case _ => None
+      if (ctx.opts.validateContent) {
+        s.contentEncoding.foreach { enc =>
+          val predOpt: Option[Column] = ctx.opts.customEncodings.get(enc).map(_(c, dt)).orElse {
+            enc match {
+              case "base64" => Some(try_to_binary(c, lit("base64")).isNotNull)
+              case "base64url" =>
+                Some(try_to_binary(translate(c, "-_", "+/"), lit("base64")).isNotNull)
+              case "base16" => Some(try_to_binary(c, lit("hex")).isNotNull)
+              case "base32" | "base32hex" =>
+                Some(graft.functions.exprs.base32_valid(c, enc == "base32hex"))
+              case _ => None
+            }
+          }
+          predOpt.foreach { p =>
+            add("contentEncoding", when(c.isNull, lit(true)).otherwise(coalesce(p, lit(false))),
+              concat(rendered, lit(s""" is not compliant with "$enc" content encoding""")))
           }
         }
-        predOpt.foreach { p =>
-          add("contentEncoding", when(c.isNull, lit(true)).otherwise(coalesce(p, lit(false))),
-            concat(rendered, lit(s""" is not compliant with "$enc" content encoding""")))
+        // decoded view of the content for media-type/schema checks
+        def decoded: Column = s.contentEncoding match {
+          case Some("base64") => try_to_binary(c, lit("base64")).cast(StringType)
+          case Some("base64url") => try_to_binary(translate(c, "-_", "+/"), lit("base64")).cast(StringType)
+          case Some("base16") => try_to_binary(c, lit("hex")).cast(StringType)
+          case _ => c
+        }
+        s.contentMediaType.foreach {
+          case "application/json" =>
+            add("contentMediaType",
+              when(c.isNull, lit(true)).otherwise(try_parse_json(decoded).isNotNull),
+              concat(rendered, lit(s""" is not compliant with "application/json" media type""")))
+          case _ => ()
+        }
+        // contentSchema (`keywords/content.rs:432-494`): applies only when
+        // contentMediaType is present (spec rule); we can only decode JSON
+        s.contentSchema.foreach { cs =>
+          if (s.contentMediaType.contains("application/json")) {
+            val prepared = Interp.prepareAt(ctx.root, cs)
+            val pred = graft.functions.exprs.content_schema_valid(decoded, prepared)
+            add("contentSchema",
+              when(c.isNull, lit(true)).otherwise(coalesce(pred, lit(true))),
+              concat(rendered, lit(" does not satisfy the contentSchema")))
+          }
         }
       }
-      s.contentMediaType.foreach {
-        case "application/json" =>
-          add("contentMediaType",
-            when(c.isNull, lit(true)).otherwise(try_parse_json(c).isNotNull),
-            concat(rendered, lit(s""" is not compliant with "application/json" media type""")))
-        case _ => ()
-      }
-    } else if (dt == BinaryType) {
+    } else if (dt == BinaryType && ctx.opts.validateContent) {
       // binary payload: contentEncoding via custom registry (audio hook)
       s.contentEncoding.foreach { enc =>
         ctx.opts.customEncodings.get(enc).foreach { f =>
@@ -402,11 +458,20 @@ object SpecCompiler {
   private def refSchemaPath(r: String): String =
     if (r.startsWith("#")) r.stripPrefix("#") else s"/$$ref(${r})"
 
-  private def resolveRef(r: String, ctx: Ctx): Option[Spec] =
-    if (r == "#") Some(ctx.root)
-    else if (r.startsWith("#/$defs/")) ctx.defs.get(r.stripPrefix("#/$defs/"))
-    else if (r.startsWith("#/definitions/")) ctx.defs.get(r.stripPrefix("#/definitions/"))
-    else None
+  private def rebase(ctx: Ctx, r: Registry.Resource): Ctx =
+    if (r eq ctx.res) ctx else ctx.copy(res = r, scope = ctx.scope :+ r)
+
+  private def resolveRefOrThrow(r: String, ctx: Ctx): (Spec, Ctx) =
+    ctx.registry.resolve(r, ctx.res) match {
+      case Some((s, res)) => (s, rebase(ctx, res))
+      case None => throw new SpecError(
+        s"unresolvable $$ref: $r (remote retrieval is unsupported — bundle external resources into the document)")
+    }
+
+  /** Non-throwing resolution for annotation-coverage walks (compile of the
+    * ref itself already threw if unresolvable). */
+  private def resolveRefOpt(r: String, ctx: Ctx): Option[(Spec, Ctx)] =
+    ctx.registry.resolve(r, ctx.res).map { case (s, res) => (s, rebase(ctx, res)) }
 
   // ---- object keywords over a StructType (static field set) -----------
 
@@ -529,16 +594,23 @@ object SpecCompiler {
     * is being compiled (it applies to the leftovers, it doesn't cover). */
   private def evaluatedCond(s: Spec.Obj, t: Target, st: StructType,
                             f: String, ctx: Ctx,
-                            includeSelfUneval: Boolean = true): Column = {
-    def branchCond(sub: Spec): Column = sub match {
+                            includeSelfUneval: Boolean = true,
+                            visited: List[Spec.Obj] = Nil): Column = {
+    // identity-based bounding: revisiting the same schema node at the SAME
+    // target is a fixpoint — contribute "not evaluated" (conservative for
+    // recursive $dynamicRef chains; the instance can't nest further)
+    if (visited.exists(_ eq s)) return lit(false)
+    val vis = s :: visited
+    def branchCondIn(sub: Spec, bctx: Ctx): Column = sub match {
       case Spec.Accept => lit(false)
       case Spec.Reject => lit(false)
       case o: Spec.Obj =>
-        val evaluatesF = evaluatedCond(o, t, st, f, ctx)
-        if (isTrueLit(evaluatesF)) predOf(sub, t, ctx)
-        else predOf(sub, t, ctx) && evaluatesF
+        val evaluatesF = evaluatedCond(o, t, st, f, enter(bctx, o), includeSelfUneval = true, vis)
+        if (isTrueLit(evaluatesF)) predOf(sub, t, bctx)
+        else predOf(sub, t, bctx) && evaluatesF
       case _ => lit(false)
     }
+    def branchCond(sub: Spec): Column = branchCondIn(sub, ctx)
     val static =
       s.properties.exists(_._1 == f) ||
       s.patternProperties.exists { case (p, _) =>
@@ -552,7 +624,13 @@ object SpecCompiler {
       s.allOf.foreach(b => branches += branchCond(b))
       s.anyOf.foreach(b => branches += branchCond(b))
       s.oneOf.foreach(b => branches += branchCond(b))
-      s.ref.flatMap(resolveRef(_, ctx)).foreach(r => branches += branchCond(r))
+      s.ref.flatMap(resolveRefOpt(_, ctx)).foreach { case (r, rc) => branches += branchCondIn(r, rc) }
+      s.dynamicRef.flatMap(r => ctx.registry.resolveDynamic(r, ctx.res, ctx.scope))
+        .foreach { case (r, res) => branches += branchCondIn(r, rebase(ctx, res)) }
+      s.recursiveRef.foreach { _ =>
+        val (r, res) = ctx.registry.resolveRecursive(ctx.res, ctx.scope)
+        branches += branchCondIn(r, rebase(ctx, res))
+      }
       s.ifSpec.foreach { i =>
         val ip = predOf(i, t, ctx)
         branches += branchCond(i)
@@ -708,7 +786,11 @@ object SpecCompiler {
 
   /** Which elements of the array target does schema `s` evaluate? */
   private def itemCoverage(s: Spec.Obj, t: Target, et: DataType, ctx: Ctx,
-                           includeSelfUneval: Boolean = true): ItemCoverage = {
+                           includeSelfUneval: Boolean = true,
+                           visited: List[Spec.Obj] = Nil): ItemCoverage = {
+    if (visited.exists(_ eq s)) // fixpoint for recursive ref chains
+      return ItemCoverage(lit(false), lit(0), Vector.empty)
+    val vis = s :: visited
     var all: Column = lit(s.items.nonEmpty ||
       (includeSelfUneval && s.unevaluatedItems.nonEmpty))
     var prefix: Column = lit(s.prefixItems.length)
@@ -716,22 +798,29 @@ object SpecCompiler {
     s.contains.foreach { sub =>
       conds += ((lit(true), (x: Column) => predOf(sub, Target(x, et, s"${t.path}/*"), ctx)))
     }
-    def addBranch(b: Spec, extraCond: Option[Column]): Unit = b match {
+    def addBranchIn(b: Spec, extraCond: Option[Column], bctx: Ctx): Unit = b match {
       case o: Spec.Obj =>
         val applies = extraCond match {
-          case Some(e) => e && predOf(b, t, ctx)
-          case None => predOf(b, t, ctx)
+          case Some(e) => e && predOf(b, t, bctx)
+          case None => predOf(b, t, bctx)
         }
-        val sub = itemCoverage(o, t, et, ctx)
+        val sub = itemCoverage(o, t, et, enter(bctx, o), includeSelfUneval = true, vis)
         all = all || (applies && sub.allCovered)
         prefix = greatest(prefix, when(applies, sub.prefixLen).otherwise(lit(0)))
         sub.containsConds.foreach { case (cnd, p) => conds += ((applies && cnd, p)) }
       case _ => ()
     }
+    def addBranch(b: Spec, extraCond: Option[Column]): Unit = addBranchIn(b, extraCond, ctx)
     s.allOf.foreach(addBranch(_, None))
     s.anyOf.foreach(addBranch(_, None))
     s.oneOf.foreach(addBranch(_, None))
-    s.ref.flatMap(resolveRef(_, ctx)).foreach(addBranch(_, None))
+    s.ref.flatMap(resolveRefOpt(_, ctx)).foreach { case (r, rc) => addBranchIn(r, None, rc) }
+    s.dynamicRef.flatMap(r => ctx.registry.resolveDynamic(r, ctx.res, ctx.scope))
+      .foreach { case (r, res) => addBranchIn(r, None, rebase(ctx, res)) }
+    s.recursiveRef.foreach { _ =>
+      val (r, res) = ctx.registry.resolveRecursive(ctx.res, ctx.scope)
+      addBranchIn(r, None, rebase(ctx, res))
+    }
     s.ifSpec.foreach { i =>
       val ip = predOf(i, t, ctx)
       addBranch(i, None)

@@ -51,6 +51,55 @@ object GraftFns {
         .remainder(java.math.BigDecimal.valueOf(multiple))
         .signum == 0
   }
+
+  /** Strict RFC 4648 base32/base32hex validity (§6/§7), matching the
+    * reference's canonical `data_encoding::BASE32{,HEX}` decode
+    * (`content_encoding.rs:41-63`): length ≡ 0 (mod 8), uppercase
+    * alphabet, padding only in {0,1,3,4,6} trailing '=', and zero
+    * leftover bits in the final symbol (canonical form). */
+  def base32Valid(s: UTF8String, hexAlphabet: Boolean): Boolean = {
+    val str = s.toString
+    val len = str.length
+    if (len % 8 != 0) return false
+    if (len == 0) return true
+    var pad = 0
+    while (pad < len && str.charAt(len - 1 - pad) == '=') pad += 1
+    if (pad == 2 || pad == 5 || pad > 6) return false
+    val dataLen = len - pad
+    def value(c: Char): Int =
+      if (hexAlphabet) {
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'V') c - 'A' + 10
+        else -1
+      } else {
+        if (c >= 'A' && c <= 'Z') c - 'A'
+        else if (c >= '2' && c <= '7') c - '2' + 26
+        else -1
+      }
+    var i = 0
+    while (i < dataLen) {
+      if (value(str.charAt(i)) < 0) return false
+      i += 1
+    }
+    if (pad > 0) {
+      // leftover bits of the last data symbol must be zero (canonical)
+      val leftover = pad match { case 1 => 3; case 3 => 1; case 4 => 4; case _ => 2 }
+      if ((value(str.charAt(dataLen - 1)) & ((1 << leftover) - 1)) != 0) return false
+    }
+    true
+  }
+
+  /** `contentSchema` assertion: parse the (decoded) string as JSON and run
+    * the prepared reference-faithful interpreter over the dynamic value
+    * (`keywords/content.rs:432-494`; the subschema's $refs resolve against
+    * the WHOLE document, hence a Prepared with root+entry). A string that
+    * is not valid JSON passes vacuously — contentMediaType reports that. */
+  def contentSchemaValid(s: UTF8String, p: graft.spec.Interp.Prepared): Boolean = {
+    val parsed =
+      try graft.spec.JsonValue.parse(s.toString)
+      catch { case _: com.fasterxml.jackson.core.JacksonException => return true }
+    p.isValid(parsed)
+  }
 }
 
 /** format:"regex" validity as a codegen-capable unary expression. */
@@ -75,6 +124,34 @@ case class IsMultipleOf(child: Expression, multiple: Double) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** base32_valid(text, hexAlphabet) → boolean (strict RFC 4648 §6/§7). */
+case class Base32Valid(child: Expression, hexAlphabet: Boolean) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFns.base32Valid(input.asInstanceOf[UTF8String], hexAlphabet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFns.base32Valid($c, $hexAlphabet)")
+  override protected def withNewChildInternal(newChild: Expression): Base32Valid =
+    copy(child = newChild)
+}
+
+/** content_schema_valid(decodedText) → boolean via the prepared interpreter;
+  * the Prepared handle rides the plan as a codegen reference object. */
+case class ContentSchemaValid(child: Expression, prepared: graft.spec.Interp.Prepared)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFns.contentSchemaValid(input.asInstanceOf[UTF8String], prepared)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // binary class name: the Java type of a Scala object-nested case class
+    val ref = ctx.addReferenceObj("contentSchemaPrepared", prepared,
+      "graft.spec.Interp$Prepared")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFns.contentSchemaValid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ContentSchemaValid =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. Spark 4 routes
   * Column↔Expression through `classic.ExpressionUtils`. */
 object exprs {
@@ -84,4 +161,8 @@ object exprs {
   def regex_valid(c: Column): Column = toCol(RegexValid(toExpr(c)))
   def is_multiple_of(c: Column, multiple: Double): Column =
     toCol(IsMultipleOf(toExpr(c), multiple))
+  def content_schema_valid(c: Column, prepared: graft.spec.Interp.Prepared): Column =
+    toCol(ContentSchemaValid(toExpr(c), prepared))
+  def base32_valid(c: Column, hexAlphabet: Boolean): Column =
+    toCol(Base32Valid(toExpr(c), hexAlphabet))
 }

@@ -18,7 +18,23 @@ package graft.spec
 object Canonical {
 
   def canonicalize(s: Spec): Spec =
-    canon(s, annotationsMatter = containsUnevaluated(s))
+    // Conservative fallback (the reference passes unsupported constructs
+    // through as Raw, canonical/mod.rs:44-47): structure rewrites move
+    // subschemas, which would dangle JSON-pointer refs and change anchor /
+    // dynamic-scope resolution — leave such documents untouched.
+    if (usesAdvancedReferencing(s)) s
+    else canon(s, annotationsMatter = containsUnevaluated(s))
+
+  /** Any $id, $anchor, dynamic/recursive anchors-or-refs, or a $ref that
+    * is not of the root-defs form (#, #/$defs/x, #/definitions/x)? */
+  def usesAdvancedReferencing(s: Spec): Boolean = s match {
+    case o: Spec.Obj =>
+      o.id.nonEmpty || o.anchor.nonEmpty || o.dynamicAnchor.nonEmpty ||
+        o.recursiveAnchor || o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty ||
+        o.ref.exists(r => r != "#" && !r.startsWith("#/$defs/") && !r.startsWith("#/definitions/")) ||
+        (Canonical.subschemas(o) ++ o.contentSchema).exists(usesAdvancedReferencing)
+    case _ => false
+  }
 
   /** `annotationsMatter`: the document carries unevaluatedProperties /
     * unevaluatedItems somewhere, so rewrites that drop SUCCESSFUL branches
@@ -71,6 +87,7 @@ object Canonical {
       if (c.nonEmpty && live.isEmpty) Vector(Spec.Reject) else live // sentinel: unsatisfiable
     },
     not = o.not.map(canon(_, am)),
+    contentSchema = o.contentSchema.map(canon(_, am)),
     unevaluatedProperties = o.unevaluatedProperties.map(canon(_, am)),
     unevaluatedItems = o.unevaluatedItems.map(canon(_, am)),
     ifSpec = o.ifSpec.map(canon(_, am)),
@@ -124,7 +141,9 @@ object Canonical {
       // set ({"allOf":[{"unevaluatedProperties":false}]} ≠ dropping it)
       b.unevaluatedProperties.nonEmpty || b.unevaluatedItems.nonEmpty ||
       b.contentEncoding.nonEmpty || b.contentMediaType.nonEmpty ||
-      b.defs.nonEmpty ||
+      b.contentSchema.nonEmpty || b.defs.nonEmpty ||
+      b.id.nonEmpty || b.anchor.nonEmpty || b.dynamicAnchor.nonEmpty ||
+      b.recursiveAnchor || b.dynamicRef.nonEmpty || b.recursiveRef.nonEmpty ||
       // a member's minContains/maxContains are no-ops without a `contains`
       // beside them; hoisting them next to the parent's `contains` would
       // activate (tighten) them

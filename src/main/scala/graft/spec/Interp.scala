@@ -12,20 +12,53 @@ package graft.spec
   */
 object Interp {
 
-  def isValid(spec: Spec, v: JsonValue): Boolean = valid(spec, v, RootCtx(spec), Nil)
+  def isValid(spec: Spec, v: JsonValue): Boolean = prepare(spec).isValid(v)
 
-  private final case class RootCtx(root: Spec) {
-    lazy val defs: Map[String, Spec] = root match {
-      case o: Spec.Obj => o.defs
-      case _           => Map.empty
+  /** Registry built once, reusable across instances — the analog of a
+    * compiled `Validator` for the interpreter (used per-row by the
+    * contentSchema kernel, so the build must not repeat per row). `entry`
+    * may be a subschema of `root` (contentSchema: its $refs resolve against
+    * the whole document). */
+  final case class Prepared(root: Spec, registry: Registry, entry: Spec)
+      extends Serializable {
+    def isValid(v: JsonValue): Boolean = {
+      val res = entry match {
+        case o: Spec.Obj => registry.resourceOf(o)
+        case _           => registry.rootResource
+      }
+      valid(entry, v, RootCtx(registry, res, List(res)), Nil)
     }
   }
 
-  private def resolveRef(ref: String, ctx: RootCtx): Option[Spec] = {
-    if (ref == "#") Some(ctx.root)
-    else if (ref.startsWith("#/$defs/")) ctx.defs.get(ref.stripPrefix("#/$defs/"))
-    else if (ref.startsWith("#/definitions/")) ctx.defs.get(ref.stripPrefix("#/definitions/"))
-    else None // external refs unsupported in the interpreter
+  def prepare(spec: Spec): Prepared = {
+    val reg = Registry.build(spec)
+    Prepared(spec, reg, spec)
+  }
+
+  /** Prepare a validator rooted at `entry`, a subschema of `root`. */
+  def prepareAt(root: Spec, entry: Spec): Prepared =
+    Prepared(root, Registry.build(root), entry)
+
+  private final case class RootCtx(registry: Registry, res: Registry.Resource,
+                                   scope: List[Registry.Resource])
+
+  /** Resolve against the CURRENT base; returns target + the ctx rebased to
+    * the target's resource. Unresolvable → SpecError (never silent-accept). */
+  private def resolveRef(ref: String, ctx: RootCtx): (Spec, RootCtx) =
+    ctx.registry.resolve(ref, ctx.res) match {
+      case Some((s, r)) => (s, rebase(ctx, r))
+      case None => throw new SpecError(s"unresolvable $$ref: $ref")
+    }
+
+  private def rebase(ctx: RootCtx, r: Registry.Resource): RootCtx =
+    if (r eq ctx.res) ctx
+    else ctx.copy(res = r, scope = ctx.scope :+ r)
+
+  /** Entering a subschema: if it lives in a different resource (crossed an
+    * `$id` boundary), rebase and extend the dynamic scope. */
+  private def entered(s: Spec, ctx: RootCtx): RootCtx = s match {
+    case o: Spec.Obj => rebase(ctx, ctx.registry.resourceOf(o))
+    case _ => ctx
   }
 
   private def codePoints(s: String): Int = s.codePointCount(0, s.length)
@@ -39,14 +72,23 @@ object Interp {
         // (node_id, instance identity) stack, validator.rs:62-115)
         if (stack.exists { case (sp, in) => (sp eq spec) && (in eq v) }) return true
         val st = (spec, v) :: stack
-        def ok(sub: Spec, value: JsonValue): Boolean = valid(sub, value, ctx, st)
+        val c2 = entered(spec, ctx)
+        def ok(sub: Spec, value: JsonValue): Boolean = valid(sub, value, c2, st)
 
         s.ref.forall { r =>
-          // unresolvable $ref fails at use like the reference fails at
-          // build — never silently accept (same contract as SpecCompiler)
-          val rs = resolveRef(r, ctx).getOrElse(
-            throw new SpecError(s"unresolvable $$ref: $r"))
-          valid(rs, v, ctx, st)
+          val (rs, rctx) = resolveRef(r, c2)
+          valid(rs, v, rctx, st)
+        } &&
+        s.dynamicRef.forall { r =>
+          val (rs, rctx) = c2.registry.resolveDynamic(r, c2.res, c2.scope) match {
+            case Some((sp, res)) => (sp, rebase(c2, res))
+            case None => throw new SpecError(s"unresolvable $$dynamicRef: $r")
+          }
+          valid(rs, v, rctx, st)
+        } &&
+        s.recursiveRef.forall { _ =>
+          val (rs, res) = c2.registry.resolveRecursive(c2.res, c2.scope)
+          valid(rs, v, rebase(c2, res), st)
         } &&
         s.types.forall(ts => typeMatches(ts, v)) &&
         s.const.forall(c => JsonValue.equal(c, v)) &&
@@ -86,7 +128,7 @@ object Interp {
             !o.toMap.contains(key) || ok(sub, v)
           } &&
           s.unevaluatedProperties.forall { u =>
-            val ev = evaluatedProps(s, o, ctx, st, includeSelfUneval = false)
+            val ev = evaluatedProps(s, o, c2, st, includeSelfUneval = false)
             o.fields.forall { case (k, value) => ev.contains(k) || ok(u, value) }
           }
         } &&
@@ -107,7 +149,7 @@ object Interp {
               n >= s.minContains.getOrElse(1L) && s.maxContains.forall(n <= _)
           }) &&
           s.unevaluatedItems.forall { u =>
-            val (allCov, prefix, contains) = itemCov(s, v, ctx, st, includeSelfUneval = false)
+            val (allCov, prefix, contains) = itemCov(s, v, c2, st, includeSelfUneval = false)
             allCov || a.zipWithIndex.forall { case (x, i) =>
               i < prefix || contains.exists(p => ok(p, x)) || ok(u, x)
             }
@@ -129,7 +171,10 @@ object Interp {
     * only from valid in-place subschemas). */
   private def evaluatedProps(s: Spec.Obj, o: JObj, ctx: RootCtx,
                              stack: List[(Spec, JsonValue)],
-                             includeSelfUneval: Boolean): Set[String] = {
+                             includeSelfUneval: Boolean,
+                             visited: List[Spec.Obj] = Nil): Set[String] = {
+    if (visited.exists(_ eq s)) return Set.empty // recursive-ref fixpoint
+    val vis = s :: visited
     val keys = o.fields.map(_._1).toSet
     var out = Set.empty[String]
     if (s.additionalProperties.nonEmpty || (includeSelfUneval && s.unevaluatedProperties.nonEmpty))
@@ -139,14 +184,25 @@ object Interp {
       val re = java.util.regex.Pattern.compile(EcmaRegex.translate(p))
       out ++= keys.filter(k => re.matcher(k).find())
     }
-    def branch(b: Spec): Unit = b match {
-      case bo: Spec.Obj if valid(b, o, ctx, stack) =>
-        out ++= evaluatedProps(bo, o, ctx, stack, includeSelfUneval = true)
+    def branchIn(b: Spec, bctx: RootCtx): Unit = b match {
+      case bo: Spec.Obj if valid(b, o, bctx, stack) =>
+        out ++= evaluatedProps(bo, o, entered(bo, bctx), stack,
+          includeSelfUneval = true, vis)
       case Spec.Accept => () // accepts but evaluates nothing
       case _ => ()
     }
+    def branch(b: Spec): Unit = branchIn(b, ctx)
     s.allOf.foreach(branch); s.anyOf.foreach(branch); s.oneOf.foreach(branch)
-    s.ref.foreach(r => resolveRef(r, ctx).foreach(branch))
+    s.ref.foreach { r => val (rs, rctx) = resolveRef(r, ctx); branchIn(rs, rctx) }
+    s.dynamicRef.foreach { r =>
+      ctx.registry.resolveDynamic(r, ctx.res, ctx.scope).foreach { case (rs, res) =>
+        branchIn(rs, rebase(ctx, res))
+      }
+    }
+    s.recursiveRef.foreach { _ =>
+      val (rs, res) = ctx.registry.resolveRecursive(ctx.res, ctx.scope)
+      branchIn(rs, rebase(ctx, res))
+    }
     s.ifSpec.foreach { i =>
       if (valid(i, o, ctx, stack)) { branch(i); s.thenSpec.foreach(branch) }
       else s.elseSpec.foreach(branch)
@@ -160,18 +216,32 @@ object Interp {
   /** (allCovered, prefixLen, containsSpecs) for unevaluatedItems. */
   private def itemCov(s: Spec.Obj, v: JsonValue, ctx: RootCtx,
                       stack: List[(Spec, JsonValue)],
-                      includeSelfUneval: Boolean): (Boolean, Int, Vector[Spec]) = {
+                      includeSelfUneval: Boolean,
+                      visited: List[Spec.Obj] = Nil): (Boolean, Int, Vector[Spec]) = {
+    if (visited.exists(_ eq s)) return (false, 0, Vector.empty) // recursive-ref fixpoint
+    val vis = s :: visited
     var all = s.items.nonEmpty || (includeSelfUneval && s.unevaluatedItems.nonEmpty)
     var prefix = s.prefixItems.length
     var contains = s.contains.toVector
-    def branch(b: Spec): Unit = b match {
-      case bo: Spec.Obj if valid(b, v, ctx, stack) =>
-        val (a2, p2, c2) = itemCov(bo, v, ctx, stack, includeSelfUneval = true)
+    def branchIn(b: Spec, bctx: RootCtx): Unit = b match {
+      case bo: Spec.Obj if valid(b, v, bctx, stack) =>
+        val (a2, p2, c2) = itemCov(bo, v, entered(bo, bctx), stack,
+          includeSelfUneval = true, vis)
         all ||= a2; prefix = math.max(prefix, p2); contains ++= c2
       case _ => ()
     }
+    def branch(b: Spec): Unit = branchIn(b, ctx)
     s.allOf.foreach(branch); s.anyOf.foreach(branch); s.oneOf.foreach(branch)
-    s.ref.foreach(r => resolveRef(r, ctx).foreach(branch))
+    s.ref.foreach { r => val (rs, rctx) = resolveRef(r, ctx); branchIn(rs, rctx) }
+    s.dynamicRef.foreach { r =>
+      ctx.registry.resolveDynamic(r, ctx.res, ctx.scope).foreach { case (rs, res) =>
+        branchIn(rs, rebase(ctx, res))
+      }
+    }
+    s.recursiveRef.foreach { _ =>
+      val (rs, res) = ctx.registry.resolveRecursive(ctx.res, ctx.scope)
+      branchIn(rs, rebase(ctx, res))
+    }
     s.ifSpec.foreach { i =>
       if (valid(i, v, ctx, stack)) { branch(i); s.thenSpec.foreach(branch) }
       else s.elseSpec.foreach(branch)

@@ -62,6 +62,16 @@ object Spec {
       unevaluatedItems: Option[Spec] = None,
       ref: Option[String] = None,
       defs: Map[String, Spec] = Map.empty,
+      // §2.1 contentSchema (`keywords/content.rs:432-494`)
+      contentSchema: Option[Spec] = None,
+      // §2.3 identifiers & dynamic references (`keywords/ref_.rs:17-325`,
+      // referencing crate anchors/resources)
+      id: Option[String] = None,
+      anchor: Option[String] = None,
+      dynamicAnchor: Option[String] = None,
+      recursiveAnchor: Boolean = false,
+      dynamicRef: Option[String] = None,
+      recursiveRef: Option[String] = None,
   ) extends Spec {
     def isUnconstrained: Boolean = this == Spec.empty
   }
@@ -188,6 +198,16 @@ object Spec {
         case "then" => s = s.copy(thenSpec = Some(parse(v)))
         case "else" => s = s.copy(elseSpec = Some(parse(v)))
         case "$ref" => s = s.copy(ref = Some(str(v, k)))
+        case "contentSchema" => s = s.copy(contentSchema = Some(parse(v)))
+        case "$id" => s = s.copy(id = Some(str(v, k)))
+        case "$anchor" => s = s.copy(anchor = Some(str(v, k)))
+        case "$dynamicAnchor" => s = s.copy(dynamicAnchor = Some(str(v, k)))
+        case "$recursiveAnchor" => v match {
+          case JBool(b) => s = s.copy(recursiveAnchor = b)
+          case _ => throw new SpecError("$recursiveAnchor expects a boolean")
+        }
+        case "$dynamicRef" => s = s.copy(dynamicRef = Some(str(v, k)))
+        case "$recursiveRef" => s = s.copy(recursiveRef = Some(str(v, k)))
         case "$defs" | "definitions" => v match {
           case po: JObj => s = s.copy(defs = s.defs ++ po.fields.map { case (p, d) => p -> parse(d) })
           case _ => throw new SpecError("$defs expects an object")

@@ -13,7 +13,9 @@ class OfficialSuiteSpec extends AnyFunSuite {
 
   val files = Seq("type.json", "numeric.json", "string.json", "enum_const.json",
     "object.json", "array.json", "combinators.json", "conditional.json",
-    "ref.json", "format.json", "unevaluated.json")
+    "ref.json", "ref_advanced.json", "anchor.json", "dynamicref.json",
+    "recursiveref.json", "format.json", "unevaluated.json", "content.json",
+    "content_assert.json")
 
   var skipped = 0
 
@@ -22,12 +24,18 @@ class OfficialSuiteSpec extends AnyFunSuite {
     test(s"suite $f (${cases.length} cases)") {
       val failures = scala.collection.mutable.Buffer[String]()
       var skippedHere = 0
-      // the interpreter treats `format` as annotation-only (like the
-      // reference with format assertions off) — skip its check there
-      val interpApplies = f != "format.json"
+      // the interpreter treats `format` and content* as annotation-only
+      // (like the reference in 2020-12) — skip its check for assertion files
+      val interpApplies = f != "format.json" && f != "content_assert.json"
+      // content.json carries the OFFICIAL annotation-only expectations; the
+      // engine asserts content* by default, so conformance runs with
+      // validateContent off (content_assert.json covers the assertion mode)
+      val opts =
+        if (f == "content.json") graft.compile.CompileOptions(validateContent = false)
+        else graft.compile.CompileOptions()
       cases.foreach { c =>
         val spec = Spec.parse(c.schema)
-        SuiteHarness.buildAndCompile(spark, spec, c.data) match {
+        SuiteHarness.buildAndCompile(spark, spec, c.data, opts) match {
           case None => skippedHere += 1
           case Some(engineGot) =>
             if (engineGot != c.valid)

@@ -65,20 +65,21 @@ object SuiteHarness {
   /** Build the 1-row DataFrame + the compile entry for an instance:
     * objects become the table row (root model), scalars/arrays become a
     * single `value` column. */
-  def buildAndCompile(spark: SparkSession, schema: Spec, data: JsonValue): Option[Boolean] = {
+  def buildAndCompile(spark: SparkSession, schema: Spec, data: JsonValue,
+                      opts: graft.compile.CompileOptions = graft.compile.CompileOptions()): Option[Boolean] = {
     data match {
       case o: JObj =>
         sparkType(o).map { case st: StructType =>
           val df = spark.createDataFrame(
             java.util.List.of(sparkValue(o, st).asInstanceOf[Row]), st)
-          verdict(df, SpecCompiler.compileRoot(schema, st))
+          verdict(df, SpecCompiler.compileRoot(schema, st, opts))
         }
       case other =>
         sparkType(other).map { dt =>
           val st = StructType(Seq(StructField("value", dt)))
           val df = spark.createDataFrame(
             java.util.List.of(Row(sparkValue(other, dt))), st)
-          verdict(df, SpecCompiler.compileColumn(schema, "value", dt))
+          verdict(df, SpecCompiler.compileColumn(schema, "value", dt, opts))
         }
     }
   }
