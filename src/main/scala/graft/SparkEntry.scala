@@ -278,6 +278,18 @@ object SparkEntry {
         .orderBy("col_name", "q")
     }),
 
+    // -- contentSchema: nested validation of string-encoded JSON ----------
+    "q_events_content_schema" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val spec = """{"properties":{"props":{
+        "contentMediaType": "application/json",
+        "contentSchema": {"type": "object", "required": ["k"],
+                          "properties": {"k": {"type": "integer", "minimum": 50}}}}}}"""
+      val plan = Validation.compile(spec, ev.schema)
+      ev.agg(count(lit(1)).as("n_rows"),
+        sum(when(!plan.isValidCol, 1L).otherwise(0L)).as("n_invalid"))
+    }),
+
     // -- contentMediaType application/json + field extraction -------------
     "q_events_props_json" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -527,6 +539,15 @@ object SparkEntry {
              round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       FROM lineitem""",
+
+    "q_events_content_schema" -> """
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE props IS NOT NULL AND (
+                  try_cast(props AS JSON) IS NULL
+               OR json_extract(props, '$.k') IS NULL
+               OR json_type(json_extract(props, '$.k')) NOT IN ('BIGINT', 'UBIGINT')
+               OR try_cast(json_extract_string(props, '$.k') AS BIGINT) < 50)) AS n_invalid
+      FROM events""",
 
     "q_events_props_json" -> """
       SELECT count(*) FILTER (WHERE try_cast(props AS JSON) IS NULL) AS n_bad_json,

@@ -1,76 +1,119 @@
 package graft.audio
 
+import org.apache.spark.sql.{Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.compile.{Check, CompileOptions, SpecCompiler}
+import graft.compile.{CompileOptions, CustomKeyword}
 import graft.run.{Validation, ValidationPlan}
+import graft.spec.{JsonValue, JNum}
 import graft.audio.expressions._
 
 /** The full constraint suite for the north-rule clips table: the scalar
   * JSON-Schema keywords compiled from a spec, plus the audio-specific
   * checks (codec decodability, byte-length consistency, decoded-PCM SNR,
-  * transcript equality) — the analog of custom content encodings / custom
-  * keywords (`options.rs:185-290`, `keywords/custom.rs`). */
+  * transcript equality) expressed through the CUSTOM-KEYWORD REGISTRY —
+  * the analog of `with_keyword` + custom content encodings
+  * (`options.rs:185-290,438`, `keywords/custom.rs`). The audio keywords
+  * appear in the spec document itself (root-level `x-audio-*`), so the
+  * whole suite is one declarative spec + one options object. */
 object AudioChecks {
 
   val MinSnrDb = 30.0
 
-  /** Scalar column spec (SURVEY §7 minimum slice). */
-  val clipSpecJson: String = """{
+  /** Full clip spec: scalar column keywords + the x-audio-* custom
+    * keywords (registered below). SURVEY §7 minimum slice, lifted onto the
+    * extension surface. */
+  val clipSpecJson: String = s"""{
     "properties": {
-      "clip_id":    {"type": "string", "pattern": "^clip-[0-9a-f]{16}$"},
+      "clip_id":    {"type": "string", "pattern": "^clip-[0-9a-f]{16}$$"},
       "sr_hz":      {"type": "integer", "enum": [8000, 16000, 22050, 24000, 44100, 48000]},
       "dur_ms":     {"type": "integer", "minimum": 1, "maximum": 600000},
       "codec":      {"type": "string", "enum": ["pcm16", "dpcm16", "ulaw8"]},
       "transcript": {"type": "string", "maxLength": 10000}
     },
-    "required": ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    "required": ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+    "x-audio-bytesConsistent": true,
+    "x-audio-snr": $MinSnrDb,
+    "x-audio-transcript": true
   }"""
 
   /** Expected payload length given (codec, sr_hz, dur_ms): codec-dispatched
     * bytes/sample × samples. Pure Column arithmetic. */
-  def expectedBytes = {
+  private def expectedBytes(row: Column): Column = {
     // Spark `/` is fractional even on integers — truncate like the codec
-    val samples = floor((col("sr_hz").cast(LongType) * col("dur_ms")) / 1000L).cast(LongType)
-    when(col("codec").isin("pcm16", "dpcm16"), samples * 2L)
-      .when(col("codec") === "ulaw8", samples)
+    val samples = floor((row.getField("sr_hz").cast(LongType) * row.getField("dur_ms")) / 1000L)
+      .cast(LongType)
+    when(row.getField("codec").isin("pcm16", "dpcm16"), samples * 2L)
+      .when(row.getField("codec") === "ulaw8", samples)
       .otherwise(lit(null))
   }
 
-  /** The audio-specific checks as engine [[Check]]s (same violation
-    * machinery / error paths as keyword checks). */
-  def audioChecks(minSnrDb: Double = MinSnrDb): Vector[Check] = {
-    val snr = audio_snr(col("clip_id"), col("bytes"), col("codec"),
-      col("sr_hz"), col("dur_ms"))
-    val guards = col("bytes").isNotNull && col("codec").isNotNull &&
-      col("sr_hz").isNotNull && col("dur_ms").isNotNull
-    Vector(
-      // byte-length consistency: cheap arithmetic BEFORE the decode check
-      // (priority < contentEncoding, like format length pre-filters)
-      Check("consistentWith", "/audio/bytes/consistentWith", "/bytes", 32,
-        coalesce(when(guards, length(col("bytes")) === expectedBytes), lit(true)),
-        concat(lit("payload of "), length(col("bytes")).cast(StringType),
-          lit(" bytes is inconsistent with sr_hz*dur_ms under codec "), col("codec"))),
-      // decodability + decoded-PCM SNR >= 30 dB vs reference synthesis
-      Check("contentEncoding", "/audio/bytes/contentEncoding", "/bytes", 33,
-        coalesce(
-          when(guards && length(col("bytes")) === expectedBytes,
-            !isnan(snr) && snr >= minSnrDb),
-          lit(true)),
-        concat(lit("decoded PCM SNR "),
-          when(isnan(snr), lit("NaN")).otherwise(round(snr, 1).cast(StringType)),
-          lit(s" dB is below the $minSnrDb dB gate for codec "), col("codec"))),
-      // transcript string equality vs deterministic reference transcript
-      Check("transcriptEquality", "/audio/transcript/equality", "/transcript", 34,
-        coalesce(col("transcript") === expected_transcript(col("clip_id")), lit(false))
-          || col("clip_id").isNull,
-        lit("transcript does not match the reference transcript")),
-    )
+  private def guards(row: Column): Column =
+    row.getField("bytes").isNotNull && row.getField("codec").isNotNull &&
+      row.getField("sr_hz").isNotNull && row.getField("dur_ms").isNotNull
+
+  private def hasFields(dt: DataType, names: String*): Boolean = dt match {
+    case st: StructType => names.forall(st.fieldNames.contains)
+    case _ => false
   }
 
-  /** Full plan: compiled scalar spec + audio checks, priority-ordered. */
+  /** The audio keyword registry — each entry compiles against the ROOT
+    * struct target (the whole row), so predicates can correlate columns.
+    * Catalyst's SimplifyExtractValueOps collapses the getFields back to
+    * plain column references — zero runtime cost. */
+  def audioKeywords: Map[String, CustomKeyword] = Map(
+    // byte-length consistency: cheap arithmetic BEFORE the decode check
+    "x-audio-bytesConsistent" -> CustomKeyword(
+      compile = (_, row, dt) =>
+        if (!hasFields(dt, "bytes", "codec", "sr_hz", "dur_ms")) None
+        else Some(coalesce(
+          when(guards(row), length(row.getField("bytes")) === expectedBytes(row)),
+          lit(true))),
+      messageCol = Some((_, row, _) =>
+        concat(lit("payload of "), length(row.getField("bytes")).cast(StringType),
+          lit(" bytes is inconsistent with sr_hz*dur_ms under codec "),
+          row.getField("codec")))),
+    // decodability + decoded-PCM SNR >= <value> dB vs reference synthesis
+    "x-audio-snr" -> CustomKeyword(
+      compile = (v, row, dt) =>
+        if (!hasFields(dt, "clip_id", "bytes", "codec", "sr_hz", "dur_ms")) None
+        else {
+          val minDb = v match { case n: JNum => n.value.toDouble; case _ => MinSnrDb }
+          val snr = snrOf(row)
+          Some(coalesce(
+            when(guards(row) && length(row.getField("bytes")) === expectedBytes(row),
+              !isnan(snr) && snr >= minDb),
+            lit(true)))
+        },
+      messageCol = Some((v, row, _) => {
+        val minDb = v match { case n: JNum => n.value.toDouble; case _ => MinSnrDb }
+        val snr = snrOf(row)
+        concat(lit("decoded PCM SNR "),
+          when(isnan(snr), lit("NaN")).otherwise(round(snr, 1).cast(StringType)),
+          lit(s" dB is below the $minDb dB gate for codec "), row.getField("codec"))
+      })),
+    // transcript string equality vs deterministic reference transcript
+    "x-audio-transcript" -> CustomKeyword(
+      compile = (_, row, dt) =>
+        if (!hasFields(dt, "clip_id", "transcript")) None
+        else Some(
+          coalesce(row.getField("transcript") === expected_transcript(row.getField("clip_id")),
+            lit(false)) || row.getField("clip_id").isNull),
+      messageCol = Some((_, _, _) =>
+        lit("transcript does not match the reference transcript"))),
+  )
+
+  private def snrOf(row: Column): Column =
+    audio_snr(row.getField("clip_id"), row.getField("bytes"), row.getField("codec"),
+      row.getField("sr_hz"), row.getField("dur_ms"))
+
+  def compileOptions: CompileOptions = CompileOptions(customKeywords = audioKeywords)
+
+  /** Full plan: one spec + the audio keyword registry. */
   def fullPlan(schema: StructType, minSnrDb: Double = MinSnrDb): ValidationPlan = {
-    val scalar = Validation.compile(clipSpecJson, schema)
-    ValidationPlan((scalar.checks ++ audioChecks(minSnrDb)).sortBy(_.priority))
+    val spec =
+      if (minSnrDb == MinSnrDb) clipSpecJson
+      else clipSpecJson.replace(s""""x-audio-snr": $MinSnrDb""", s""""x-audio-snr": $minSnrDb""")
+    Validation.compile(spec, schema, compileOptions)
   }
 }

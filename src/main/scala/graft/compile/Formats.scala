@@ -123,9 +123,11 @@ object Formats {
         rlikeAll(datePart, dateRe) && dateValid(datePart) &&
         rlikeAll(timePart, timeRe) && timeValid(timePart))
     case "duration" => Some(rlikeAll(c, durationRe))
-    case "email" | "idn-email" => Some(rlikeAll(c, emailRe))
+    case "email" => Some(rlikeAll(c, emailRe))
+    case "idn-email" => Some(graft.functions.exprs.idn_email_valid(c))
     case "hostname" => Some(rlikeAll(c, hostnameRe))
-    case "idn-hostname" => Some(rlikeAll(c, hostnameRe)) // ASCII approximation
+    // real punycode (java.net.IDN) + RFC 1123 label checks on ASCII form
+    case "idn-hostname" => Some(graft.functions.exprs.idn_hostname_valid(c))
     case "ipv4" => Some(length(c).between(7, 15) && rlikeAll(c, ipv4Re))
     case "ipv6" => Some(length(c) <= 45 && rlikeAll(c, ipv6Re))
     case "uuid" => Some(length(c) === 36 && rlikeAll(c, uuidRe))

@@ -25,6 +25,21 @@ final case class Check(
     message: Column,
 )
 
+/** A pluggable keyword — the analog of the reference's `Keyword` trait +
+  * `with_keyword(name, factory)` (`options.rs:438`, `keywords/custom.rs`).
+  * `compile` sees the keyword's JSON value and the target column/type and
+  * returns a NULL-SAFE predicate (None ⇒ keyword not applicable to this
+  * type — annotation-only, like built-ins on foreign types). */
+final case class CustomKeyword(
+    compile: (JsonValue, Column, DataType) => Option[Column],
+    message: JsonValue => String = v => s"custom keyword not satisfied (${JsonValue.render(v)})",
+    /** dynamic message column (wins over `message` when set). */
+    messageCol: Option[(JsonValue, Column, DataType) => Column] = None,
+    /** fail-fast ordering slot (reference keyword_priority table; default
+      * just below applicators). */
+    priority: Int = 39,
+)
+
 /** Compile options — the analog of `ValidationOptions`
   * (`/root/reference/crates/jsonschema/src/options.rs:22-687`). */
 final case class CompileOptions(
@@ -41,6 +56,10 @@ final case class CompileOptions(
       * engine is a data-VALIDATION engine so it asserts by default —
       * set false for strict official-suite conformance. */
     validateContent: Boolean = true,
+    /** custom keyword registry: keyword name → implementation; analog of
+      * `with_keyword` (`options.rs:438`). Unregistered unknown keywords
+      * stay annotation-only. */
+    customKeywords: Map[String, CustomKeyword] = Map.empty,
 )
 
 /** Compiles a [[Spec]] into null-safe Catalyst predicates over a typed
@@ -448,6 +467,18 @@ object SpecCompiler {
       val ep = s.elseSpec.map(predOf(_, t, ctx)).getOrElse(lit(true))
       add("if", when(ip, tp).otherwise(ep),
         concat(rendered, lit(" does not satisfy the if/then/else conditional")))
+    }
+
+    // ---- custom keywords (`keywords/custom.rs`, `options.rs:438`) ----
+    s.others.foreach { case (name, value) =>
+      ctx.opts.customKeywords.get(name).foreach { ck =>
+        ck.compile(value, c, dt).foreach { p =>
+          val msg = ck.messageCol.map(f => f(value, c, dt))
+            .getOrElse(concat(rendered, lit(" " + ck.message(value))))
+          out += Check(name, s"$sp/$name", t.path, ck.priority,
+            when(c.isNull, lit(true)).otherwise(coalesce(p, lit(false))), msg)
+        }
+      }
     }
 
     out.result()

@@ -52,6 +52,42 @@ object GraftFns {
         .signum == 0
   }
 
+  private def asciiHostnameOk(h: String): Boolean = {
+    val host = if (h.endsWith(".")) h.dropRight(1) else h
+    if (host.isEmpty || host.length > 253) return false
+    host.split("\\.", -1).forall { l =>
+      l.nonEmpty && l.length <= 63 &&
+        l.forall(c => c.isLetterOrDigit && c < 128 || c == '-') &&
+        l.head != '-' && l.last != '-'
+    }
+  }
+
+  /** `format: "idn-hostname"` via real punycode conversion (java.net.IDN,
+    * RFC 3490 with STD3 rules) then RFC 1123 label checks on the ASCII
+    * form — replaces the r1 ASCII approximation. (The reference uses the
+    * UTS-46/IDNA2008 `idna` crate, `format.rs` idn arm; IDNA2003 differs
+    * on a few deviation characters — documented limitation.) */
+  def idnHostnameValid(s: UTF8String): Boolean = {
+    val str = s.toString
+    if (str.isEmpty) return false
+    try {
+      val ascii = java.net.IDN.toASCII(str, java.net.IDN.USE_STD3_ASCII_RULES)
+      asciiHostnameOk(ascii)
+    } catch { case _: Exception => false }
+  }
+
+  /** `format: "idn-email"` (RFC 6531 pragmatic): non-empty local part
+    * without spaces/@/control chars, internationalized domain via
+    * idnHostnameValid. */
+  def idnEmailValid(s: UTF8String): Boolean = {
+    val str = s.toString
+    val at = str.lastIndexOf('@')
+    if (at <= 0 || at == str.length - 1) return false
+    val local = str.substring(0, at)
+    if (local.exists(c => c <= ' ' || c == '@' || c == 0x7f)) return false
+    idnHostnameValid(UTF8String.fromString(str.substring(at + 1)))
+  }
+
   /** Strict RFC 4648 base32/base32hex validity (§6/§7), matching the
     * reference's canonical `data_encoding::BASE32{,HEX}` decode
     * (`content_encoding.rs:41-63`): length ≡ 0 (mod 8), uppercase
@@ -124,6 +160,27 @@ case class IsMultipleOf(child: Expression, multiple: Double) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** idn_hostname_valid(text) / idn_email_valid(text) → boolean. */
+case class IdnHostnameValid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFns.idnHostnameValid(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFns.idnHostnameValid($c)")
+  override protected def withNewChildInternal(newChild: Expression): IdnHostnameValid =
+    copy(child = newChild)
+}
+
+case class IdnEmailValid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFns.idnEmailValid(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFns.idnEmailValid($c)")
+  override protected def withNewChildInternal(newChild: Expression): IdnEmailValid =
+    copy(child = newChild)
+}
+
 /** base32_valid(text, hexAlphabet) → boolean (strict RFC 4648 §6/§7). */
 case class Base32Valid(child: Expression, hexAlphabet: Boolean) extends UnaryExpression {
   override def dataType: DataType = BooleanType
@@ -165,4 +222,6 @@ object exprs {
     toCol(ContentSchemaValid(toExpr(c), prepared))
   def base32_valid(c: Column, hexAlphabet: Boolean): Column =
     toCol(Base32Valid(toExpr(c), hexAlphabet))
+  def idn_hostname_valid(c: Column): Column = toCol(IdnHostnameValid(toExpr(c)))
+  def idn_email_valid(c: Column): Column = toCol(IdnEmailValid(toExpr(c)))
 }

@@ -179,22 +179,61 @@ object Validation {
     compile(specJson, df.schema).withValidation(df)
 
   /** `validator_map_for` analog (`lib.rs:1388`, `compiler.rs:1134-1213`):
-    * one sub-plan per addressable subschema — "" for the root, plus
-    * "/properties/<col>" per column-scoped subschema. */
+    * one standalone sub-plan per REACHABLE subschema, keyed by its JSON
+    * pointer — like the reference, which keys every compiled subschema.
+    *
+    * Contract per entry: a struct-typed target compiles like a table root
+    * (apply to `df.select("path.to.it.*")`); any other target compiles
+    * against a single column named `value` (apply to
+    * `df.select(col(...).as("value"))`). Subschemas with no determinable
+    * instance type in THIS table schema (e.g. unreferenced $defs, pattern-
+    * property targets) are omitted — the reference can key them because
+    * its instances are dynamic; ours are typed by the table. */
   def validatorMap(specJson: String, schema: StructType,
                    opts: CompileOptions = CompileOptions()): Map[String, ValidationPlan] = {
     val spec = Spec.parseJson(specJson)
-    val root = "" -> ValidationPlan(SpecCompiler.compileRoot(spec, schema, opts))
-    val perColumn = spec match {
-      case o: Spec.Obj =>
-        o.properties.flatMap { case (name, sub) =>
-          schema.fields.find(_.name == name).map { f =>
-            s"/properties/$name" ->
-              ValidationPlan(SpecCompiler.compileColumn(sub, name, f.dataType, opts))
-          }
-        }
-      case _ => Vector.empty
+    val out = scala.collection.mutable.LinkedHashMap[String, ValidationPlan]()
+
+    def planFor(s: Spec, dt: DataType): ValidationPlan = dt match {
+      case st: StructType => ValidationPlan(SpecCompiler.compileRoot(s, st, opts))
+      case other => ValidationPlan(SpecCompiler.compileColumn(s, "value", other, opts))
     }
-    (Vector(root) ++ perColumn).toMap
+
+    def walk(s: Spec, ptr: String, dt: DataType): Unit = {
+      if (out.contains(ptr)) return
+      out(ptr) = planFor(s, dt)
+      s match {
+        case o: Spec.Obj =>
+          dt match {
+            case st: StructType =>
+              o.properties.foreach { case (n, sub) =>
+                st.fields.find(_.name == n).foreach(f =>
+                  walk(sub, s"$ptr/properties/$n", f.dataType))
+              }
+              o.dependentSchemas.foreach { case (k, sub) =>
+                walk(sub, s"$ptr/dependentSchemas/$k", dt)
+              }
+            case ArrayType(et, _) =>
+              o.items.foreach(walk(_, s"$ptr/items", et))
+              o.prefixItems.zipWithIndex.foreach { case (sub, i) =>
+                walk(sub, s"$ptr/prefixItems/$i", et)
+              }
+              o.contains.foreach(walk(_, s"$ptr/contains", et))
+            case _ => ()
+          }
+          // in-place applicators keep the parent's instance type
+          o.allOf.zipWithIndex.foreach { case (b, i) => walk(b, s"$ptr/allOf/$i", dt) }
+          o.anyOf.zipWithIndex.foreach { case (b, i) => walk(b, s"$ptr/anyOf/$i", dt) }
+          o.oneOf.zipWithIndex.foreach { case (b, i) => walk(b, s"$ptr/oneOf/$i", dt) }
+          o.not.foreach(walk(_, s"$ptr/not", dt))
+          o.ifSpec.foreach(walk(_, s"$ptr/if", dt))
+          o.thenSpec.foreach(walk(_, s"$ptr/then", dt))
+          o.elseSpec.foreach(walk(_, s"$ptr/else", dt))
+        case _ => ()
+      }
+    }
+
+    walk(spec, "", schema)
+    out.toMap
   }
 }

@@ -144,6 +144,7 @@ object Canonical {
       b.contentSchema.nonEmpty || b.defs.nonEmpty ||
       b.id.nonEmpty || b.anchor.nonEmpty || b.dynamicAnchor.nonEmpty ||
       b.recursiveAnchor || b.dynamicRef.nonEmpty || b.recursiveRef.nonEmpty ||
+      b.others.nonEmpty || // unknown/custom keywords: no merge rule
       // a member's minContains/maxContains are no-ops without a `contains`
       // beside them; hoisting them next to the parent's `contains` would
       // activate (tighten) them

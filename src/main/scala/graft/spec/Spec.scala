@@ -72,6 +72,10 @@ object Spec {
       recursiveAnchor: Boolean = false,
       dynamicRef: Option[String] = None,
       recursiveRef: Option[String] = None,
+      /** unknown keywords, captured for the custom-keyword registry
+        * (`options.rs:438`, `keywords/custom.rs`) and future meta checks;
+        * annotation-only unless a CustomKeyword is registered. */
+      others: Vector[(String, JsonValue)] = Vector.empty,
   ) extends Spec {
     def isUnconstrained: Boolean = this == Spec.empty
   }
@@ -212,7 +216,11 @@ object Spec {
           case po: JObj => s = s.copy(defs = s.defs ++ po.fields.map { case (p, d) => p -> parse(d) })
           case _ => throw new SpecError("$defs expects an object")
         }
-        case _ => () // annotation-only / unknown keyword: ignored
+        // annotation/bookkeeping keywords that are NOT custom-keyword slots
+        case "$schema" | "$comment" | "$vocabulary" | "title" | "description" |
+             "default" | "examples" | "deprecated" | "readOnly" | "writeOnly" => ()
+        case other => // unknown keyword: annotation-only, kept for the registry
+          s = s.copy(others = s.others :+ (other -> v))
       }
     }
     s

@@ -31,14 +31,23 @@ class ApiVerbsSpec extends AnyFunSuite {
     Bundler.dereference(spec) // must terminate
   }
 
-  test("validatorMap: root plan plus per-column sub-plans") {
+  test("validatorMap: every reachable subschema keyed by JSON pointer") {
     val df = Seq((1, "abc"), (-1, "x")).toDF("a", "b")
     val m = Validation.validatorMap(
-      """{"properties":{"a":{"minimum":0},"b":{"minLength":2}},"required":["a"]}""",
+      """{"properties":{"a":{"minimum":0},"b":{"minLength":2}},"required":["a"],
+          "allOf":[{"properties":{"a":{"maximum":100}}}]}""",
       df.schema)
-    assert(m.keySet == Set("", "/properties/a", "/properties/b"))
-    val got = m("/properties/a").withValid(df).select("valid").as[Boolean].collect()
+    // deep keying: root, each property, the allOf branch AND its nested property
+    assert(m.keySet == Set("", "/properties/a", "/properties/b",
+      "/allOf/0", "/allOf/0/properties/a"))
+    // non-struct targets compile against a single `value` column
+    val got = m("/properties/a").withValid(df.select(col("a").as("value")))
+      .select("valid").as[Boolean].collect()
     assert(got.sameElements(Array(true, false)))
+    // nested pointer sub-plan is standalone too
+    val deep = m("/allOf/0/properties/a")
+      .withValid(Seq(5, 200).toDF("value")).select("valid").as[Boolean].collect()
+    assert(deep.sameElements(Array(true, false)))
     assert(!m("").isValid(df))
   }
 

@@ -40,8 +40,8 @@ class AudioSpec extends AnyFunSuite {
       // every violation keyword we expect shows up across the corpus
       val kws = out.select(explode(col("violations")).as("v"))
         .select(col("v.keyword")).distinct().collect().map(_.getString(0)).toSet
-      assert(Set("pattern", "enum", "minimum", "consistentWith",
-        "contentEncoding", "transcriptEquality").subsetOf(kws), kws.toString)
+      assert(Set("pattern", "enum", "minimum", "x-audio-bytesConsistent",
+        "x-audio-snr", "x-audio-transcript").subsetOf(kws), kws.toString)
       // clean rows: zero violations
       val cleanInvalid = out.where(col("valid") && size(col("violations")) > 0).count()
       assert(cleanInvalid == 0)
