@@ -31,21 +31,29 @@ final case class ValidationPlan(checks: Vector[Check]) {
     * cheap-first predicate conjunction ONCE and short-circuit to an empty
     * array; only invalid rows pay for per-check structs + messages (the
     * reference's LazyLocation idea, `paths.rs` — errors are cold).
-    * Measured 5x on the audio suite (106s → 21s for 200k clips). */
+    *
+    * Built as concat(per-check conditional singletons), NOT
+    * filter(array(...)): `filter` is a higher-order function with no
+    * codegen, and ONE non-codegen expression evicts the whole Project
+    * from WholeStageCodegen — every predicate (including the audio
+    * decode) then re-evaluates interpreted, measured 6x per row on the
+    * clips suite. Concat stays fused and subexpression elimination
+    * evaluates each predicate once. */
   def violationsCol: Column = {
     if (checks.isEmpty) typedlit(Seq.empty[ViolationRow])
     else {
+      val none = typedlit(Seq.empty[ViolationRow])
       val entries = checks.map { ch =>
         when(!ch.predicate,
-          struct(
+          array(struct(
             lit(ch.keyword).as("keyword"),
             lit(ch.schemaPath).as("schema_path"),
             lit(ch.instancePath).as("instance_path"),
-            ch.message.as("message"))
-        ) // otherwise null
+            ch.message.as("message")))
+        ).otherwise(none)
       }
-      when(isValidCol, typedlit(Seq.empty[ViolationRow]))
-        .otherwise(filter(array(entries: _*), v => v.isNotNull))
+      when(isValidCol, none)
+        .otherwise(concat(entries: _*))
     }
   }
 

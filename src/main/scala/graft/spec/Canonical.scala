@@ -45,12 +45,172 @@ object Canonical {
     case Spec.Accept => Spec.Accept
     case Spec.Reject => Spec.Reject
     case o: Spec.Obj =>
-      val folded = foldAllOf(recurse(o, annotationsMatter))
+      val folded = foldAllOf(oneOfDisjoint(pushNotKeyword(recurse(o, annotationsMatter))))
       if (isContradictory(folded)) Spec.Reject
       else {
         val c = constEquivalence(dedupEnum(folded))
         if (c == Spec.empty) Spec.Accept else c
       }
+  }
+
+  // ---- negation pushdown (`canonical/negate.rs:65-126` lite) -----------
+
+  /** Is `o` exactly the empty schema plus the given projection cleared? */
+  private def only(o: Spec.Obj)(clear: Spec.Obj => Spec.Obj): Boolean =
+    clear(o) == Spec.empty
+
+  /** Push a `not` into a positive form where the algebra allows:
+    * De Morgan over anyOf, double negation, and typed-leaf negation of
+    * single bound/length/size keywords (the "vacuous pass" rule means
+    * not({minimum:m}) accepts ONLY numbers below m → {type:number,
+    * exclusiveMaximum:m}). Returns None when no sound rewrite exists. */
+  private def pushNot(inner: Spec): Option[Spec] = inner match {
+    case Spec.Accept => Some(Spec.Reject)
+    case Spec.Reject => Some(Spec.Accept)
+    case o: Spec.Obj =>
+      def num = Some(Set(JsonType.Number, JsonType.Integer): Set[JsonType])
+      if (o.not.nonEmpty && only(o)(_.copy(not = None)))
+        Some(o.not.get) // ¬¬X = X
+      else if (o.anyOf.nonEmpty && only(o)(_.copy(anyOf = Vector.empty)))
+        // De Morgan: ¬(a ∨ b) = ¬a ∧ ¬b (each negation pushed in turn)
+        Some(Spec.Obj(allOf = o.anyOf.map(b => pushNotKeyword(Spec.Obj(not = Some(b))))))
+      else if (o.minimum.nonEmpty && only(o)(_.copy(minimum = None)))
+        Some(Spec.Obj(types = num, exclusiveMaximum = o.minimum))
+      else if (o.maximum.nonEmpty && only(o)(_.copy(maximum = None)))
+        Some(Spec.Obj(types = num, exclusiveMinimum = o.maximum))
+      else if (o.exclusiveMinimum.nonEmpty && only(o)(_.copy(exclusiveMinimum = None)))
+        Some(Spec.Obj(types = num, maximum = o.exclusiveMinimum))
+      else if (o.exclusiveMaximum.nonEmpty && only(o)(_.copy(exclusiveMaximum = None)))
+        Some(Spec.Obj(types = num, minimum = o.exclusiveMaximum))
+      else if (o.minLength.nonEmpty && only(o)(_.copy(minLength = None)))
+        o.minLength.map(n => if (n == 0) Spec.Reject
+          else Spec.Obj(types = Some(Set(JsonType.String)), maxLength = Some(n - 1)))
+      else if (o.maxLength.nonEmpty && only(o)(_.copy(maxLength = None)))
+        o.maxLength.map(n => Spec.Obj(types = Some(Set(JsonType.String)), minLength = Some(n + 1)))
+      else if (o.minItems.nonEmpty && only(o)(_.copy(minItems = None)))
+        o.minItems.map(n => if (n == 0) Spec.Reject
+          else Spec.Obj(types = Some(Set(JsonType.Array)), maxItems = Some(n - 1)))
+      else if (o.maxItems.nonEmpty && only(o)(_.copy(maxItems = None)))
+        o.maxItems.map(n => Spec.Obj(types = Some(Set(JsonType.Array)), minItems = Some(n + 1)))
+      else if (o.types.nonEmpty && only(o)(_.copy(types = None))) {
+        val ts = o.types.get
+        // complement is only expressible when integer/number travel together
+        // (¬integer admits non-integral numbers, which "number" can't encode)
+        if (ts.contains(JsonType.Integer) != ts.contains(JsonType.Number)) None
+        else {
+          val comp = JsonType.all.toSet -- ts
+          Some(if (comp.isEmpty) Spec.Reject else Spec.Obj(types = Some(comp)))
+        }
+      }
+      else None
+  }
+
+  /** Rewrite the `not` keyword of `o` into positive conjuncts when the
+    * pushed form exists (kept as an allOf member so foldAllOf merges it). */
+  private def pushNotKeyword(o: Spec.Obj): Spec.Obj = o.not match {
+    case Some(n) => pushNot(n) match {
+      case Some(Spec.Reject) => o.copy(not = None, allOf = o.allOf :+ Spec.Reject)
+      case Some(Spec.Accept) => o.copy(not = None)
+      case Some(p) => o.copy(not = None, allOf = o.allOf :+ p)
+      case None => o
+    }
+    case None => o
+  }
+
+  // ---- oneOf disjointness / anyOf subsumption (`algebra.rs:415-727`) ---
+
+  /** Scalar-only leaf: no applicators, combinators, refs, annotations or
+    * identifiers — the fragment where set comparisons are decidable. */
+  private def scalarLeaf(o: Spec.Obj): Boolean =
+    o.properties.isEmpty && o.patternProperties.isEmpty &&
+      o.additionalProperties.isEmpty && o.propertyNames.isEmpty &&
+      o.dependentRequired.isEmpty && o.dependentSchemas.isEmpty &&
+      o.items.isEmpty && o.prefixItems.isEmpty && o.contains.isEmpty &&
+      o.allOf.isEmpty && o.anyOf.isEmpty && o.oneOf.isEmpty &&
+      o.not.isEmpty && o.ifSpec.isEmpty && o.thenSpec.isEmpty && o.elseSpec.isEmpty &&
+      o.unevaluatedProperties.isEmpty && o.unevaluatedItems.isEmpty &&
+      o.contentEncoding.isEmpty && o.contentMediaType.isEmpty && o.contentSchema.isEmpty &&
+      o.ref.isEmpty && o.dynamicRef.isEmpty && o.recursiveRef.isEmpty &&
+      o.id.isEmpty && o.anchor.isEmpty && o.dynamicAnchor.isEmpty &&
+      !o.recursiveAnchor && o.defs.isEmpty && o.others.isEmpty
+
+  private def expand(ts: Set[JsonType]): Set[JsonType] =
+    if (ts.contains(JsonType.Number)) ts + JsonType.Integer else ts
+
+  /** Does `g` (general) provably accept everything `s` (specific) accepts?
+    * Conservative — false when unsure. Used to drop covered anyOf branches
+    * (`algebra.rs:1770+` covered-branch dropping, lite). */
+  def subsumes(general: Spec, specific: Spec): Boolean = (general, specific) match {
+    case (Spec.Accept, _) => true
+    case (_, Spec.Reject) => true
+    case (g: Spec.Obj, s: Spec.Obj) if scalarLeaf(g) && scalarLeaf(s) =>
+      val typesOk = g.types.isEmpty ||
+        s.types.exists(st => expand(st).subsetOf(expand(g.types.get)))
+      val boundsOk =
+        g.minimum.forall(gm => s.minimum.exists(_ >= gm) || s.exclusiveMinimum.exists(_ >= gm)) &&
+        g.exclusiveMinimum.forall(gm => s.exclusiveMinimum.exists(_ >= gm) || s.minimum.exists(_ > gm)) &&
+        g.maximum.forall(gm => s.maximum.exists(_ <= gm) || s.exclusiveMaximum.exists(_ <= gm)) &&
+        g.exclusiveMaximum.forall(gm => s.exclusiveMaximum.exists(_ <= gm) || s.maximum.exists(_ < gm))
+      val multOk = g.multipleOf.forall(gm => s.multipleOf.exists(sm => (sm remainder gm).signum == 0))
+      val strOk =
+        g.minLength.forall(gl => s.minLength.exists(_ >= gl)) &&
+        g.maxLength.forall(gl => s.maxLength.exists(_ <= gl)) &&
+        g.pattern.forall(gp => s.pattern.contains(gp)) &&
+        g.format.forall(gf => s.format.contains(gf))
+      val sizeOk =
+        g.minItems.forall(gi => s.minItems.exists(_ >= gi)) &&
+        g.maxItems.forall(gi => s.maxItems.exists(_ <= gi)) &&
+        g.minProperties.forall(gi => s.minProperties.exists(_ >= gi)) &&
+        g.maxProperties.forall(gi => s.maxProperties.exists(_ <= gi)) &&
+        (!g.uniqueItems || s.uniqueItems)
+      val reqOk = g.required.forall(s.required.contains)
+      val valuesOk = (g.const, g.enumVals) match {
+        case (Some(c), _) =>
+          s.const.exists(JsonValue.equal(_, c)) ||
+            s.enumVals.exists(vs => vs.nonEmpty && vs.forall(JsonValue.equal(_, c)))
+        case (None, Some(gvs)) =>
+          s.const.exists(sc => gvs.exists(JsonValue.equal(_, sc))) ||
+            s.enumVals.exists(svs => svs.forall(sv => gvs.exists(JsonValue.equal(_, sv))))
+        case _ => true
+      }
+      typesOk && boundsOk && multOk && strOk && sizeOk && reqOk && valuesOk
+    case _ => false
+  }
+
+  /** Provable disjointness of two scalar leaves (no instance satisfies
+    * both) — `algebra.rs:415-727` oneOf disjointness analysis, lite. */
+  def disjoint(a: Spec, b: Spec): Boolean = (a, b) match {
+    case (Spec.Reject, _) | (_, Spec.Reject) => true
+    case (x: Spec.Obj, y: Spec.Obj) if scalarLeaf(x) && scalarLeaf(y) =>
+      val typeDisjoint = x.types.nonEmpty && y.types.nonEmpty &&
+        expand(x.types.get).intersect(expand(y.types.get)).isEmpty
+      def numOnly(o: Spec.Obj) =
+        o.types.exists(t => t.nonEmpty && t.subsetOf(Set(JsonType.Number, JsonType.Integer)))
+      def lo(o: Spec.Obj) = (o.minimum.toSeq ++ o.exclusiveMinimum).reduceOption(_ max _)
+      def hi(o: Spec.Obj) = (o.maximum.toSeq ++ o.exclusiveMaximum).reduceOption(_ min _)
+      val rangeDisjoint = numOnly(x) && numOnly(y) && (
+        lo(x).zip(hi(y)).exists { case (l, h) => l > h ||
+          (l == h && (x.exclusiveMinimum.contains(l) || y.exclusiveMaximum.contains(h))) } ||
+        lo(y).zip(hi(x)).exists { case (l, h) => l > h ||
+          (l == h && (y.exclusiveMinimum.contains(l) || x.exclusiveMaximum.contains(h))) })
+      def values(o: Spec.Obj): Option[Vector[JsonValue]] =
+        o.const.map(Vector(_)).orElse(o.enumVals)
+      val valueDisjoint = values(x).zip(values(y)).exists { case (vx, vy) =>
+        vx.forall(v => !vy.exists(JsonValue.equal(_, v)))
+      }
+      typeDisjoint || rangeDisjoint || valueDisjoint
+    case _ => false
+  }
+
+  /** Pairwise-disjoint oneOf ⇒ anyOf (exactly-one ≡ at-least-one):
+    * drops the counting plan for the common tagged-union shape. */
+  private def oneOfDisjoint(o: Spec.Obj): Spec.Obj = {
+    val live = o.oneOf.filter(_ != Spec.Reject)
+    if (live.length >= 2 && live.forall(_ != Spec.Accept) &&
+        live.combinations(2).forall { p => disjoint(p(0), p(1)) }) {
+      if (o.anyOf.isEmpty) o.copy(oneOf = Vector.empty, anyOf = live)
+      else o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = live))
+    } else o
   }
 
   /** Does any subschema carry unevaluatedProperties/unevaluatedItems? */
@@ -102,7 +262,17 @@ object Canonical {
     // disjunct true ⇒ no constraint — but dropping successful branches
     // destroys their annotations, so only when no unevaluated* in scope
     else if (live.contains(Spec.Accept) && !annotationsMatter) Vector.empty
-    else live
+    else if (annotationsMatter) live
+    else {
+      // covered-branch dropping (`algebra.rs:1770+`): a branch subsumed by
+      // a sibling adds nothing to the union (scalar leaves only — they
+      // carry no annotations, so this is safe even near unevaluated*)
+      live.zipWithIndex.filter { case (a, i) =>
+        !live.zipWithIndex.exists { case (b, j) =>
+          j != i && subsumes(b, a) && (!subsumes(a, b) || j < i)
+        }
+      }.map(_._1)
+    }
   }
 
   /** Fold mergeable allOf members into the parent (constraint
@@ -111,16 +281,19 @@ object Canonical {
   private def foldAllOf(o: Spec.Obj): Spec.Obj = {
     var acc = o.copy(allOf = Vector.empty)
     val keep = Vector.newBuilder[Spec]
-    o.allOf.foreach {
+    def visit(m: Spec): Unit = m match {
       case Spec.Accept => ()
       case Spec.Reject => keep += Spec.Reject
+      case sub: Spec.Obj if sub.allOf.nonEmpty && only(sub)(_.copy(allOf = Vector.empty)) =>
+        sub.allOf.foreach(visit) // splice pure nested allOf (conjunction is flat)
       case sub: Spec.Obj =>
         mergeInto(acc, sub) match {
-          case Some(m) => acc = m
-          case None    => keep += sub
+          case Some(m2) => acc = m2
+          case None     => keep += sub
         }
       case other => keep += other
     }
+    o.allOf.foreach(visit)
     acc.copy(allOf = keep.result())
   }
 

@@ -90,6 +90,58 @@ class CanonicalSpec extends AnyFunSuite {
     assert(Interp.isValid(orig, inst) == Interp.isValid(c, inst))
   }
 
+  test("negation pushdown: typed-leaf bounds, double negation, De Morgan") {
+    // not(minimum:5) accepts ONLY numbers < 5 (non-numbers pass minimum
+    // vacuously, so their negation rejects them)
+    val g1 = canon("""{"not":{"minimum":5}}""").asInstanceOf[Spec.Obj]
+    assert(g1.not.isEmpty && g1.exclusiveMaximum.contains(BigDecimal(5)))
+    assert(g1.types.contains(Set(JsonType.Number, JsonType.Integer): Set[JsonType]))
+    // double negation through type complement
+    val g2 = canon("""{"not":{"not":{"type":"string"}}}""").asInstanceOf[Spec.Obj]
+    assert(g2.types.contains(Set(JsonType.String): Set[JsonType]))
+    // De Morgan: ¬(minimum:0 ∨ string) — both negations pushed and folded
+    val g3 = canon("""{"not":{"anyOf":[{"minimum":0},{"type":"string"}]}}""")
+      .asInstanceOf[Spec.Obj]
+    assert(g3.not.isEmpty)
+    assert(g3.exclusiveMaximum.contains(BigDecimal(0))) // ¬(min 0) merged up
+    // acceptance preserved on witnesses
+    for (v <- Seq[JsonValue](JNum(BigDecimal(-1)), JNum(BigDecimal(3)), JStr("x"), JBool(true))) {
+      val orig = Spec.parseJson("""{"not":{"anyOf":[{"minimum":0},{"type":"string"}]}}""")
+      assert(Interp.isValid(orig, v) == Interp.isValid(g3, v), JsonValue.render(v))
+    }
+    // minLength 0 is universal → its negation is Reject
+    assert(canon("""{"not":{"minLength":0}}""") == Spec.Reject)
+  }
+
+  test("anyOf covered-branch dropping (subsumption)") {
+    val g = canon("""{"anyOf":[{"type":"string"},{"type":"string","minLength":2}]}""")
+      .asInstanceOf[Spec.Obj]
+    assert(g.anyOf == Vector(Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]))))
+    // numeric bound subsumption
+    val g2 = canon("""{"anyOf":[{"minimum":0},{"minimum":5,"maximum":9}]}""")
+      .asInstanceOf[Spec.Obj]
+    assert(g2.anyOf.length == 1)
+    // NOT dropped when sets are incomparable
+    val g3 = canon("""{"anyOf":[{"minimum":0},{"maximum":10}]}""").asInstanceOf[Spec.Obj]
+    assert(g3.anyOf.length == 2)
+  }
+
+  test("pairwise-disjoint oneOf becomes anyOf (tagged-union shape)") {
+    val g = canon("""{"oneOf":[{"type":"string"},{"type":"integer"},{"type":"array"}]}""")
+      .asInstanceOf[Spec.Obj]
+    assert(g.oneOf.isEmpty && g.anyOf.length == 3)
+    // overlapping branches keep the exactly-one counting semantics
+    val g2 = canon("""{"oneOf":[{"minimum":0},{"maximum":10}]}""").asInstanceOf[Spec.Obj]
+    assert(g2.oneOf.length == 2 && g2.anyOf.isEmpty)
+    // disjoint by value sets
+    val g3 = canon("""{"oneOf":[{"enum":[1,2]},{"enum":[3,4]}]}""").asInstanceOf[Spec.Obj]
+    assert(g3.oneOf.isEmpty && g3.anyOf.length == 2)
+    // disjoint by numeric ranges (type-pinned)
+    val g4 = canon("""{"oneOf":[{"type":"number","maximum":4},{"type":"number","minimum":5}]}""")
+      .asInstanceOf[Spec.Obj]
+    assert(g4.oneOf.isEmpty && g4.anyOf.length == 2)
+  }
+
   test("allOf with combinator members stays as allOf") {
     val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
       .asInstanceOf[Spec.Obj]
