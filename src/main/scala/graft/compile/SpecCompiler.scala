@@ -25,6 +25,20 @@ final case class Check(
     message: Column,
 )
 
+/** One collected annotation source (`evaluation.rs:461-494`
+  * iter_annotations): an annotation-producing keyword at a schema
+  * location. `gate` is the per-row applicability (target non-null and of
+  * the applicable type); emission additionally requires the enclosing
+  * schema object's checks to pass (annotations flow only from VALID
+  * subschemas). */
+final case class Annot(
+    keyword: String,
+    schemaPath: String,
+    instancePath: String,
+    valueJson: String,
+    gate: Column,
+)
+
 /** A pluggable keyword — the analog of the reference's `Keyword` trait +
   * `with_keyword(name, factory)` (`options.rs:438`, `keywords/custom.rs`).
   * `compile` sees the keyword's JSON value and the target column/type and
@@ -98,6 +112,9 @@ object SpecCompiler {
       registry: Registry,
       res: Registry.Resource,
       scope: List[Registry.Resource],
+      /** shared collector for annotation sources; None inside predOf
+        * sub-compiles (a branch predicate is not an assertion site). */
+      annots: Option[scala.collection.mutable.Buffer[Annot]] = None,
   )
 
   /** Crossing an `$id` boundary rebases the resolution context and extends
@@ -124,6 +141,17 @@ object SpecCompiler {
     checks.sortBy(_.priority)
   }
 
+  /** compileRoot + collected annotation sources (the `evaluate` /
+    * `iter_annotations` inputs). */
+  def compileRootFull(spec: Spec, schema: StructType,
+                      opts: CompileOptions = CompileOptions()): (Vector[Check], Vector[Annot]) = {
+    val rootCol = struct(schema.fieldNames.map(n => col(quoted(n))): _*)
+    val buf = scala.collection.mutable.Buffer[Annot]()
+    val checks = compile(spec, Target(rootCol, schema, ""), "",
+      rootCtx(spec, opts).copy(annots = Some(buf)))
+    (checks.sortBy(_.priority), buf.toVector)
+  }
+
   /** Compile a spec against a single column. */
   def compileColumn(spec: Spec, name: String, dtype: DataType,
                     opts: CompileOptions = CompileOptions()): Vector[Check] = {
@@ -136,7 +164,7 @@ object SpecCompiler {
   /** Conjunction of a spec's checks (the analog of `is_valid` over a
     * subschema). Statically true ⇒ lit(true). */
   private def predOf(spec: Spec, t: Target, ctx: Ctx): Column =
-    compile(spec, t, "", ctx).map(_.predicate) match {
+    compile(spec, t, "", ctx.copy(annots = None)).map(_.predicate) match {
       case Vector() => lit(true)
       case ps       => ps.reduce(_ && _)
     }
@@ -239,6 +267,19 @@ object SpecCompiler {
       if (!isTrueLit(pred))
         out += Check(kw, s"$sp/$kw", t.path, priority.getOrElse(kw, 49), pred, msg)
     def rendered: Column = renderValue(c, dt)
+    // annotation sources (`evaluation.rs:461-494`): collected regardless of
+    // whether the keyword also asserts in this engine
+    def annotate(kw: String, v: String, applies: Column): Unit =
+      ctx.annots.foreach(_ += Annot(kw, s"$sp/$kw", t.path, v, applies))
+
+    if (dt == StringType) {
+      s.format.foreach(f => annotate("format", JsonValue.render(JStr(f)), c.isNotNull))
+      s.contentEncoding.foreach(e => annotate("contentEncoding", JsonValue.render(JStr(e)), c.isNotNull))
+      s.contentMediaType.foreach(m => annotate("contentMediaType", JsonValue.render(JStr(m)), c.isNotNull))
+    }
+    s.others.foreach { case (name, value) =>
+      annotate(name, JsonValue.render(value), c.isNotNull)
+    }
 
     // Inline a resolved reference target with cycle bounding: re-entering
     // the SAME (ref, resource, instance path) means the instance type can't

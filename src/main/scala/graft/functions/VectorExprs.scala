@@ -183,6 +183,83 @@ object VecFns {
     new GenericArrayData(out)
   }
 
+  // language-marker stopword sets (public heuristic lists; must stay in
+  // sync with the SQL oracles in SparkEntry)
+  final val Stopwords: java.util.Set[String] = java.util.Set.of(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+  final val MarkersEn: java.util.Set[String] = java.util.Set.of(
+    "the", "and", "of", "to", "is", "in", "that", "it", "was", "for")
+  final val MarkersDe: java.util.Set[String] = java.util.Set.of(
+    "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  final val MarkersEs: java.util.Set[String] = java.util.Set.of(
+    "el", "la", "que", "de", "los", "las", "una", "por", "con", "para")
+  final val MarkersFr: java.util.Set[String] = java.util.Set.of(
+    "le", "la", "les", "et", "des", "est", "une", "dans", "pour", "que")
+
+  /** One-pass text statistics kernel: token count, BPE-ish subword
+    * approximation (ceil(len/4) per token), code-point counts, stopword and
+    * per-language marker hits — everything the quality/langid/token-count
+    * operators need, in ONE compiled scan. Replaces interpreted
+    * `aggregate`/`filter` higher-order functions, which have no codegen and
+    * evict their whole Project from WholeStageCodegen. All counts are over
+    * CODE POINTS (matching Spark's length() and DuckDB's length()).
+    * Token = maximal run of non-\s code points of the raw (not lowercased)
+    * text, identical to split(trim(text), "\\s+"). */
+  def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var nTokens = 0
+    var nSubwords = 0L
+    var nChars = 0
+    var nAlnumWs = 0 // \p{L}, \p{N} or \s — survivors of the punct strip
+    var nStop = 0
+    var en = 0; var de = 0; var es = 0; var fr = 0
+    val len = s.length
+    var i = 0
+    var tokStart = -1
+    var tokCp = 0 // code points in the current token
+    def endToken(endIdx: Int): Unit = {
+      nTokens += 1
+      nSubwords += (tokCp + 3) / 4
+      if (tokCp <= 6) { // all marker/stopword entries are short
+        val t = s.substring(tokStart, endIdx)
+        if (Stopwords.contains(t)) nStop += 1
+        if (MarkersEn.contains(t)) en += 1
+        if (MarkersDe.contains(t)) de += 1
+        if (MarkersEs.contains(t)) es += 1
+        if (MarkersFr.contains(t)) fr += 1
+      }
+      tokStart = -1; tokCp = 0
+    }
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      val tpe = Character.getType(cp)
+      val letter = Character.isLetter(cp)
+      val number = tpe == Character.DECIMAL_DIGIT_NUMBER ||
+        tpe == Character.LETTER_NUMBER || tpe == Character.OTHER_NUMBER
+      if (letter || number || ws) nAlnumWs += 1
+      if (ws) { if (tokStart >= 0) endToken(i) }
+      else { if (tokStart < 0) tokStart = i; tokCp += 1 }
+      i += Character.charCount(cp)
+    }
+    if (tokStart >= 0) endToken(len)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, nSubwords, nChars, nAlnumWs, nStop, en, de, es, fr))
+  }
+
+  val textStatsType: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords", LongType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_alnum_ws", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("en_hits", IntegerType, nullable = false),
+    StructField("de_hits", IntegerType, nullable = false),
+    StructField("es_hits", IntegerType, nullable = false),
+    StructField("fr_hits", IntegerType, nullable = false)))
+
   /** Exact Jaccard |a ∩ b| / |a ∪ b| over string arrays, hash-set based —
     * the compiled replacement for interpreted array_intersect/array_union
     * in the LSH verify join. Duplicates within a side are collapsed (same
@@ -219,6 +296,17 @@ case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.ngramShingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramShingles =
+    copy(child = newChild)
+}
+
+/** text_stats(text) → struct (see VecFns.textStatsType). */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = VecFns.textStatsType
+  override protected def nullSafeEval(input: Any): Any =
+    VecFns.textStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.textStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
     copy(child = newChild)
 }
 
@@ -301,6 +389,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVecExpr
 object vecexprs {
   def ngram_shingles(text: Column, n: Int): Column =
     ColumnBridge.toCol(NgramShingles(ColumnBridge.toExpr(text), n))
+  def text_stats(text: Column): Column =
+    ColumnBridge.toCol(TextStats(ColumnBridge.toExpr(text)))
   def jaccard_sim(a: Column, b: Column): Column =
     ColumnBridge.toCol(JaccardSim(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
   def minhash_sig(shingles: Column, k: Int, seed: Long = 42L): Column =

@@ -18,7 +18,88 @@ import graft.spec.Spec
   *  - `violations`   ← `Validator::iter_errors` (validator.rs:490-494)
   *  - `verdicts`     ← `evaluate().flag()` per partition (evaluation.rs:245)
   */
-final case class ValidationPlan(checks: Vector[Check]) {
+final case class ValidationPlan(checks: Vector[Check],
+                                annotations: Vector[graft.compile.Annot] = Vector.empty) {
+
+  /** Per-annotation active condition: the keyword's own applicability gate
+    * AND the enclosing schema object's checks all passing — annotations
+    * flow only from VALID subschemas (`evaluation.rs:461-494`). */
+  private def annotationActive: Vector[(graft.compile.Annot, Column)] =
+    annotations.map { a =>
+      def parent(p: String) = { val i = p.lastIndexOf('/'); if (i <= 0) "" else p.substring(0, i) }
+      val siblings = checks.filter(ch => parent(ch.schemaPath) == parent(a.schemaPath))
+      a -> siblings.map(_.predicate).foldLeft(a.gate)(_ && _)
+    }
+
+  /** Active annotations as an array<struct> column (iter_annotations). */
+  def annotationsCol: Column = {
+    val none = typedlit(Seq.empty[AnnotationRow])
+    if (annotations.isEmpty) none
+    else concat(annotationActive.map { case (a, active) =>
+      when(active, array(struct(
+        lit(a.keyword).as("keyword"),
+        lit(a.schemaPath).as("schema_path"),
+        lit(a.instancePath).as("instance_path"),
+        lit(a.valueJson).as("value")))).otherwise(none)
+    }: _*)
+  }
+
+  /** Annotation rows per input row — `Validator::iter_annotations`. */
+  def iterAnnotations(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col) :+ annotationsCol.as("annotations"): _*)
+      .where(size(col("annotations")) > 0)
+      .select(keyCols.map(col) :+ explode(col("annotations")).as("_ann"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("_ann.keyword").as("keyword"),
+        col("_ann.schema_path").as("schema_path"),
+        col("_ann.instance_path").as("instance_path"),
+        col("_ann.value").as("value")): _*)
+
+  /** JSON-Schema Output v1 document column (flag/list/hierarchical),
+    * shaped to validate against the official output schema
+    * (`tests/output_spec_schema.json`): outputUnit = {valid,
+    * evaluationPath, schemaLocation, instanceLocation, errors?,
+    * annotations?}. Render with to_json (null fields are omitted). */
+  def outputV1(format: String): Column = {
+    val noMap = lit(null).cast(MapType(StringType, StringType))
+    def checkUnit(ch: Check): Column = struct(
+      ch.predicate.as("valid"),
+      lit(ch.schemaPath).as("evaluationPath"),
+      lit(ch.schemaPath).as("schemaLocation"),
+      lit(ch.instancePath).as("instanceLocation"),
+      when(!ch.predicate, map(lit(ch.keyword), ch.message)).otherwise(noMap).as("errors"),
+      noMap.as("annotations"))
+    def annUnit(a: graft.compile.Annot): Column = struct(
+      lit(true).as("valid"),
+      lit(a.schemaPath).as("evaluationPath"),
+      lit(a.schemaPath).as("schemaLocation"),
+      lit(a.instancePath).as("instanceLocation"),
+      noMap.as("errors"),
+      map(lit(a.keyword), lit(a.valueJson)).as("annotations"))
+    lazy val unitType = graft.functions.exprs.toExpr(checkUnit(checks.head)).dataType
+    def details: Column = {
+      val base =
+        if (checks.isEmpty) Vector.empty
+        else Vector(array(checks.map(checkUnit): _*))
+      val anns = annotationActive.map { case (a, active) =>
+        when(active, array(annUnit(a))).otherwise(array().cast(ArrayType(unitType)))
+      }
+      val parts = base ++ anns
+      if (parts.isEmpty) typedlit(Seq.empty[String]).cast(ArrayType(StringType)) // degenerate
+      else concat(parts: _*)
+    }
+    format match {
+      case "flag" => struct(isValidCol.as("valid"))
+      case "list" => struct(isValidCol.as("valid"), details.as("details"))
+      case "hierarchical" => struct(
+        isValidCol.as("valid"),
+        lit("").as("evaluationPath"),
+        lit("").as("schemaLocation"),
+        lit("").as("instanceLocation"),
+        details.as("details"))
+      case other => throw new IllegalArgumentException(s"unknown output format: $other")
+    }
+  }
 
   /** Null-safe conjunction of all checks, cheap-first (the reference's
     * keyword-priority ordering, `keywords/mod.rs:180-259`) so codegen's
@@ -164,6 +245,9 @@ final case class ValidationPlan(checks: Vector[Check]) {
 final case class ViolationRow(keyword: String, schema_path: String,
                               instance_path: String, message: String)
 
+final case class AnnotationRow(keyword: String, schema_path: String,
+                               instance_path: String, value: String)
+
 /** Compile + run entry points — the one-off verbs
   * (`lib.rs:1250,1281,1313`) and `validator_for` (`lib.rs:1346`). */
 object Validation {
@@ -172,11 +256,13 @@ object Validation {
     * schema once; reuse the plan across any number of DataFrames. */
   def compile(specJson: String, schema: StructType,
               opts: CompileOptions = CompileOptions()): ValidationPlan =
-    ValidationPlan(SpecCompiler.compileRoot(Spec.parseJson(specJson), schema, opts))
+    compileSpec(Spec.parseJson(specJson), schema, opts)
 
   def compileSpec(spec: Spec, schema: StructType,
-                  opts: CompileOptions = CompileOptions()): ValidationPlan =
-    ValidationPlan(SpecCompiler.compileRoot(spec, schema, opts))
+                  opts: CompileOptions = CompileOptions()): ValidationPlan = {
+    val (checks, annots) = SpecCompiler.compileRootFull(spec, schema, opts)
+    ValidationPlan(checks, annots)
+  }
 
   /** One-off `is_valid` analog. */
   def isValid(df: DataFrame, specJson: String): Boolean =

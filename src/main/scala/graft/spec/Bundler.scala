@@ -9,6 +9,58 @@ package graft.spec
   */
 object Bundler {
 
+  /** `bundle` (`bundler.rs` analog): produce a SELF-CONTAINED compound
+    * document by embedding every externally-referenced resource into
+    * `$defs`, keyed `bundled<n>`, with its `$id` set to the absolute URI —
+    * the 2020-12 compound-document form; the embedded `$id` makes the
+    * original `$ref` URIs resolve against the in-document registry.
+    * `external` plays the reference's retriever/registry role (zero-egress
+    * sandbox: the user supplies the documents; a missing one fails loudly
+    * like a retriever error). Transitive: bundled documents may themselves
+    * reference further external resources. */
+  def bundle(spec: Spec, external: Map[String, Spec]): Spec = spec match {
+    case root: Spec.Obj =>
+      var current = root
+      var counter = 0
+      var missing = unresolvableUris(current)
+      while (missing.nonEmpty) {
+        missing.foreach { uri =>
+          val doc = external.getOrElse(uri,
+            throw new SpecError(s"bundle: no resource supplied for $uri"))
+          val embedded = doc match {
+            case o: Spec.Obj => o.copy(id = Some(uri))
+            // a boolean schema cannot carry $id — wrap equivalently
+            case Spec.Accept => Spec.Obj(id = Some(uri))
+            case Spec.Reject => Spec.Obj(id = Some(uri), allOf = Vector(Spec.Reject))
+          }
+          counter += 1
+          current = current.copy(defs = current.defs + (s"bundled$counter" -> embedded))
+        }
+        missing = unresolvableUris(current)
+      }
+      current
+    case other => other
+  }
+
+  /** Absolute target URIs of refs that do NOT resolve inside the document. */
+  def unresolvableUris(root: Spec.Obj): Set[String] = {
+    val reg = Registry.build(root)
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(s: Spec): Unit = s match {
+      case o: Spec.Obj =>
+        val base = reg.resourceOf(o)
+        (o.ref.toSeq ++ o.dynamicRef).foreach { r =>
+          val (uriPart, _) = Registry.splitFragment(r)
+          if (uriPart.nonEmpty && reg.resolve(r, base).isEmpty)
+            out += Registry.resolveUri(base.uri, uriPart)
+        }
+        (Canonical.subschemas(o) ++ o.contentSchema).foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    out.toSet
+  }
+
   def dereference(spec: Spec): Spec = spec match {
     case o: Spec.Obj =>
       val d = deref(o, o, Set.empty)

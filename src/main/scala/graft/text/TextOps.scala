@@ -23,13 +23,18 @@ object TextOps {
     when(c.isNull || trim(c) === "", array().cast(ArrayType(StringType)))
       .otherwise(split(trim(c), "\\s+"))
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** One-pass compiled text statistics (graft.functions.TextStats): the
+    * interpreted `aggregate`/`filter` HOFs these operators previously used
+    * have no codegen and evict their whole Project from WholeStageCodegen. */
+  private def stats(c: Column): Column = graft.functions.vecexprs.text_stats(c)
+
+  def tokenCount(c: Column): Column = coalesce(stats(c).getField("n_tokens"), lit(0))
 
   /** BPE-ish subword count approximation: word-piece count where each
     * token contributes ceil(len/4) pieces (a public rule of thumb for
     * byte-pair tokenizers; deterministic, no vocab needed). */
   def subwordCountApprox(c: Column): Column =
-    coalesce(aggregate(tokens(c), lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast(LongType)), lit(0L))
+    coalesce(stats(c).getField("n_subwords"), lit(0L))
 
   /** Document fingerprint for exact dedup: md5 of the normalized text.
     * (md5 rather than a bespoke rolling hash so external engines can
@@ -40,14 +45,14 @@ object TextOps {
   def fingerprint64(c: Column): Column = xxhash64(normalize(c))
 
   /** Quality-scoring features: chars, tokens, mean token length, ratio of
-    * non-alphanumeric chars, stopword ratio, all-caps ratio. Pure
-    * arithmetic -> reproducible in any SQL engine. */
+    * non-alphanumeric chars, stopword ratio. Pure compiled arithmetic ->
+    * reproducible in any SQL engine (see the DuckDB oracles). */
   def qualityFeatures(c: Column): Column = {
-    val toks = tokens(c)
-    val nTok = size(toks)
-    val nChar = length(c)
-    val alnum = length(regexp_replace(c, "[^\\p{L}\\p{N}\\s]", ""))
-    val stop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val st = stats(c)
+    val nTok = st.getField("n_tokens")
+    val nChar = st.getField("n_chars")
+    val alnum = st.getField("n_alnum_ws")
+    val stop = st.getField("n_stop")
     struct(
       nChar.as("n_chars"),
       nTok.as("n_tokens"),
@@ -81,13 +86,18 @@ object TextOps {
   )
 
   def langId(c: Column): Column = {
-    val toks = tokens(c)
-    val scores = langMarkers.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"), lit(lang).as("lang"))
-    }
-    // argmax by (hits, then insertion order preserved via reverse stability)
-    val best = array_max(array(scores.reverse: _*)) // struct compare: hits first
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val st = stats(c)
+    val en = st.getField("en_hits"); val de = st.getField("de_hits")
+    val es = st.getField("es_hits"); val fr = st.getField("fr_hits")
+    val best = greatest(en, de, es, fr)
+    // tie-break order fr > es > en > de — identical to the previous
+    // struct-argmax (hits, then lexicographically-max lang name) and to
+    // the SQL oracle's CASE chain
+    when(c.isNull || best <= 0, lit("und"))
+      .when(fr === best, lit("fr"))
+      .when(es === best, lit("es"))
+      .when(en === best, lit("en"))
+      .otherwise(lit("de"))
   }
 
   /** Exact-duplicate groups: fingerprint → count > 1. Hash groupBy with

@@ -25,6 +25,30 @@ class ApiVerbsSpec extends AnyFunSuite {
     }
   }
 
+  test("bundle embeds external resources into $defs and the result compiles") {
+    val extA = Spec.parseJson(
+      """{"type": "object", "required": ["name"],
+          "properties": {"level": {"$ref": "https://example.com/level.json"}}}""")
+    val extLevel = Spec.parseJson("""{"type": "integer", "minimum": 1}""")
+    val root = Spec.parseJson(
+      """{"properties": {"child": {"$ref": "https://example.com/a.json"}}}""")
+      .asInstanceOf[Spec.Obj]
+    // transitively bundles a.json AND its own external dependency
+    val bundled = Bundler.bundle(root,
+      Map("https://example.com/a.json" -> extA,
+          "https://example.com/level.json" -> extLevel)).asInstanceOf[Spec.Obj]
+    assert(bundled.defs.size == 2)
+    assert(Bundler.unresolvableUris(bundled).isEmpty)
+    // compiles + validates end-to-end through the embedded-$id registry
+    val df = Seq(("x", 3), ("y", 0)).toDF("name", "level")
+      .select(struct(col("name"), col("level")).as("child"))
+    val plan = Validation.compileSpec(bundled, df.schema)
+    val got = plan.withValid(df).select("valid").as[Boolean].collect()
+    assert(got.sameElements(Array(true, false)))
+    // a missing resource fails loudly, like a retriever error
+    intercept[graft.spec.SpecError] { Bundler.bundle(root, Map.empty) }
+  }
+
   test("dereference keeps cyclic refs in place") {
     val spec = Spec.parseJson(
       """{"$defs":{"loop":{"$ref":"#/$defs/loop"}},"properties":{"x":{"$ref":"#/$defs/loop"}}}""")
