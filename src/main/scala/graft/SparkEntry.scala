@@ -212,6 +212,20 @@ object SparkEntry {
         q, k = 5, dim = 64, bits = 8, probeHamming = 3)
     }),
 
+    // -- dedup: embedding-cosine near-dup, exact all-pairs (oracle path) --
+    "q_emb_near_dup_exact" -> ((s, dir) => {
+      Ann.cosineNearDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -- dedup: embedding-cosine near-dup via sign-LSH buckets (scale path,
+    //    no oracle — probabilistic recall; AnnSpec tests recall) ----------
+    "q_emb_near_dup_lsh" -> ((s, dir) => {
+      Ann.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, bits = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- classic OLAP: aggregation with exact decimal sums ----------------
     // sums computed exactly in decimal, emitted as double: Spark's sum
     // widens to decimal(28,2)/(34,4) while DuckDB widens to (38,*), and the
@@ -510,6 +524,16 @@ object SparkEntry {
       FROM embeddings e1, embeddings e2
       WHERE e1.vec_id = 0 AND e2.vec_id <> 0
       ORDER BY cos DESC, id LIMIT 5""",
+
+    "q_emb_near_dup_exact" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      ORDER BY id_a, id_b""",
 
     "q_agg_lineitem_pricing" -> """
       SELECT l_returnflag, l_linestatus,

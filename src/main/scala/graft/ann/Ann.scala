@@ -51,18 +51,47 @@ object Ann {
     }.reduce[Column](_ + _)
   }
 
-  /** ANN near-duplicate pairs: bucket by sign-LSH (optionally probing the
-    * query's own bucket only), self-join within bucket, verify with exact
-    * cosine. Shuffle key = (bucket), so the join is bucket-local. */
+  /** ANN near-duplicate pairs via MULTI-BAND sign-LSH: `bands` independent
+    * bucket keys per vector; a pair is a candidate if ANY band matches
+    * (miss probability per band ≈ bits·θ/π for angle θ, so recall ≈
+    * 1-(bits·θ/π)^bands — a single band has NO recall guarantee). The
+    * self-join shuffles on the small (band, bucket) key — bucket-local,
+    * never crossing the table with itself; survivors are verified with
+    * exact compiled cosine, so precision is exact. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     threshold: Double = 0.9, bits: Int = 12, seed: Long = 42L): DataFrame = {
-    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, bits, seed))
-    val a = withB.alias("a"); val b = withB.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+                     threshold: Double = 0.9, bits: Int = 12, bands: Int = 4,
+                     seed: Long = 42L): DataFrame = {
+    val src = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = src.select(col("id"), col("v"),
+      explode(array((0 until bands).map(bd =>
+        struct(lit(bd).as("band"),
+          lshBucket(col("v"), dim, bits, seed + bd * 7919L).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
-      .where(col("cos") >= threshold)
+        cosine(col("a.v"), col("b.v")).as("_cos"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 4).as("cos"))
+  }
+
+  /** EXACT embedding near-duplicate pairs: all-pairs cosine >= threshold.
+    * Quadratic — the oracle/small-table path (plans as a broadcast nested
+    * loop at test scale); `cosineNearDups` above is the LSH-bucketed scale
+    * path whose candidates never cross the whole table with itself. */
+  def cosineNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = s.alias("a"); val b = s.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("_cos"))
+      // threshold on the UNROUNDED score (rounding first would admit
+      // pairs just below the threshold), report rounded
+      .where(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 4).as("cos"))
   }
 
   /** ANN top-k with LSH pre-filter: score only vectors whose bucket is

@@ -74,6 +74,10 @@ final case class CompileOptions(
       * `with_keyword` (`options.rs:438`). Unregistered unknown keywords
       * stay annotation-only. */
     customKeywords: Map[String, CustomKeyword] = Map.empty,
+    /** validate the schema document against the meta-schema before
+      * compiling (reference build-time behavior, `compiler.rs:945-966`);
+      * applies on the JSON-text entry points. */
+    validateSchema: Boolean = true,
 )
 
 /** Compiles a [[Spec]] into null-safe Catalyst predicates over a typed

@@ -255,8 +255,13 @@ object Validation {
   /** `validator_for` analog: compile a spec (JSON text) against a table
     * schema once; reuse the plan across any number of DataFrames. */
   def compile(specJson: String, schema: StructType,
-              opts: CompileOptions = CompileOptions()): ValidationPlan =
-    compileSpec(Spec.parseJson(specJson), schema, opts)
+              opts: CompileOptions = CompileOptions()): ValidationPlan = {
+    val doc = graft.spec.JsonValue.parse(specJson)
+    // build-time meta-schema gate (`compiler.rs:945-966`): a misspelled
+    // keyword VALUE (e.g. "minimum": "5") must fail the build, not compile
+    if (opts.validateSchema) graft.spec.Meta.check(doc)
+    compileSpec(Spec.parse(doc), schema, opts)
+  }
 
   def compileSpec(spec: Spec, schema: StructType,
                   opts: CompileOptions = CompileOptions()): ValidationPlan = {

@@ -61,4 +61,26 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
+
+  test("cosineNearDupsExact matches brute-force ground truth; LSH recalls planted dups") {
+    // 40 random-ish vectors + 5 planted near-duplicate pairs
+    val rng = new scala.util.Random(7)
+    val rand = (0 until 40).map(i => Vec(i.toLong, (0 until dim).map(_ => rng.nextGaussian().toFloat)))
+    val planted = (0 until 5).flatMap { p =>
+      val v = (0 until dim).map(_ => rng.nextGaussian().toFloat)
+      val w = v.updated(p, v(p) + 0.02f)
+      Seq(Vec(100L + p * 2, v), Vec(101L + p * 2, w))
+    }
+    val df = (rand ++ planted).toDF()
+    val exact = Ann.cosineNearDupsExact(df, "id", "v", threshold = 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(p => (100L + p * 2, 101L + p * 2)).toSet
+    assert(expected.subsetOf(exact), exact.toString)
+    // LSH path recalls every planted pair (same-bucket by construction of
+    // tiny angular distance) — candidates never cross the full table
+    val lsh = Ann.cosineNearDups(df, "id", "v", dim, threshold = 0.995, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(lsh), lsh.toString)
+    assert(lsh.subsetOf(exact)) // LSH never invents pairs (exact verify)
+  }
 }

@@ -49,6 +49,24 @@ class ApiVerbsSpec extends AnyFunSuite {
     intercept[graft.spec.SpecError] { Bundler.bundle(root, Map.empty) }
   }
 
+  test("meta-schema validation rejects malformed schemas at build time") {
+    import graft.spec.Meta
+    // the engine's own query specs are meta-valid
+    assert(Meta.isValidJson("""{"properties":{"a":{"minimum":0}},"required":["a"]}"""))
+    assert(Meta.isValidJson("true"))
+    // wrong keyword VALUE shapes are rejected
+    assert(!Meta.isValidJson("""{"minimum": "5"}"""))
+    assert(!Meta.isValidJson("""{"required": "a"}"""))
+    assert(!Meta.isValidJson("""{"type": "strng"}"""))
+    assert(!Meta.isValidJson("""{"properties": ["a"]}"""))
+    assert(!Meta.isValidJson("""{"multipleOf": 0}"""))
+    // compile() fails fast like the reference build
+    val df = Seq(1).toDF("x")
+    intercept[graft.spec.SpecError] {
+      Validation.compile("""{"properties":{"x":{"minimum":"5"}}}""", df.schema)
+    }
+  }
+
   test("dereference keeps cyclic refs in place") {
     val spec = Spec.parseJson(
       """{"$defs":{"loop":{"$ref":"#/$defs/loop"}},"properties":{"x":{"$ref":"#/$defs/loop"}}}""")
