@@ -2,28 +2,33 @@ package graft.cli
 
 import org.apache.spark.sql.SparkSession
 import graft.run.Validation
+import graft.spec._
 
 /** CLI driver — the analog of `jsonschema-cli`
-  * (`/root/reference/crates/jsonschema-cli/src/main.rs:34-239`): read a
-  * table, validate against a spec, emit verdicts + violations; exit code =
-  * validity. On a cluster this main is launched via spark-submit; here it
-  * runs in local mode.
+  * (`/root/reference/crates/jsonschema-cli/src/main.rs:34-239`) with its
+  * subcommand surface. On a cluster the table verbs are launched via
+  * spark-submit; here they run in local mode. Exit codes: 0 ok/valid,
+  * 1 violations found, 2 malformed spec / usage.
   *
-  * Usage: graft.cli.Main <table.parquet> <spec.json> [outDir] [keyCol]
+  * Usage:
+  *   graft.cli.Main <table.parquet> <spec.json> [outDir] [keyCol]   (validate, default)
+  *   graft.cli.Main validate <table.parquet> <spec.json> [outDir] [keyCol]
+  *   graft.cli.Main evaluate <table.parquet> <spec.json> <flag|list|hierarchical> [n]
+  *   graft.cli.Main canonicalize <spec.json>
+  *   graft.cli.Main dereference  <spec.json>
+  *   graft.cli.Main bundle       <spec.json> <uri=doc.json> [uri=doc.json ...]
+  *   graft.cli.Main meta         <spec.json>
   */
 object Main {
-  def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: graft.cli.Main <table.parquet> <spec.json> [outDir] [keyCol]")
-      sys.exit(2)
-    }
-    val tablePath = args(0)
-    val specPath = args(1)
-    val outDir = args.lift(2)
+
+  private def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+  private def sparkSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
-      .appName("graft-validate")
+      .appName("graft-cli")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
@@ -31,34 +36,90 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val specVerbs = Set("canonicalize", "dereference", "bundle", "meta")
+    val tableVerbs = Set("validate", "evaluate")
     try {
-      val df = spark.read.parquet(tablePath)
-      val specJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specPath)), "UTF-8")
-      val plan = Validation.compile(specJson, df.schema)
-      val keyCol = args.lift(3).getOrElse(df.columns.head)
-
-      val verdicts = plan.verdicts(df).orderBy("partition_id")
-      println("== per-partition verdicts ==")
-      verdicts.show(100, truncate = false)
-
-      val violations = plan.violations(df, Seq(keyCol))
-      println("== violations (sample) ==")
-      violations.show(20, truncate = false)
-
-      val stats = plan.checkStats(df)
-      println("== per-check violation counts ==")
-      stats.show(100, truncate = false)
-
-      outDir.foreach { d =>
-        violations.write.mode("overwrite").parquet(s"$d/violations")
-        verdicts.write.mode("overwrite").parquet(s"$d/verdicts")
+      args.headOption match {
+        case Some(v) if specVerbs.contains(v) => specVerb(v, args.drop(1))
+        case Some(v) if tableVerbs.contains(v) => tableVerb(v, args.drop(1))
+        case Some(_) if args.length >= 2 => tableVerb("validate", args)
+        case _ =>
+          System.err.println("usage: graft.cli.Main [verb] <args...> (see scaladoc)")
+          sys.exit(2)
       }
-      val allValid = plan.isValid(df)
-      println(s"valid: $allValid")
-      spark.stop()
-      sys.exit(if (allValid) 0 else 1)
     } catch {
-      case e: graft.spec.SpecError =>
+      case e: SpecError =>
+        System.err.println(s"invalid spec: ${e.getMessage}")
+        sys.exit(2)
+    }
+  }
+
+  /** Pure spec-document verbs — no Spark session needed. */
+  private def specVerb(verb: String, args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(s"usage: $verb <spec.json> ..."); sys.exit(2) }
+    val doc = JsonValue.parse(readFile(args(0)))
+    verb match {
+      case "meta" =>
+        val ok = Meta.isValid(doc)
+        println(if (ok) "valid" else "invalid")
+        sys.exit(if (ok) 0 else 1)
+      case "canonicalize" =>
+        println(JsonValue.render(Spec.toJson(Canonical.canonicalize(Spec.parse(doc)))))
+      case "dereference" =>
+        println(JsonValue.render(Spec.toJson(Bundler.dereference(Spec.parse(doc)))))
+      case "bundle" =>
+        val external = args.drop(1).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"expected uri=path, got $kv")
+          kv.substring(0, i) -> Spec.parse(JsonValue.parse(readFile(kv.substring(i + 1))))
+        }.toMap
+        println(JsonValue.render(Spec.toJson(Bundler.bundle(Spec.parse(doc), external))))
+    }
+  }
+
+  private def tableVerb(verb: String, args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(s"usage: $verb <table.parquet> <spec.json> ...")
+      sys.exit(2)
+    }
+    val spark = sparkSession()
+    try {
+      val df = spark.read.parquet(args(0))
+      val plan = Validation.compile(readFile(args(1)), df.schema)
+      verb match {
+        case "evaluate" =>
+          val fmt = args.lift(2).getOrElse("list")
+          val n = args.lift(3).map(_.toInt).getOrElse(10)
+          df.select(org.apache.spark.sql.functions.to_json(plan.outputV1(fmt)).as("output"))
+            .show(n, truncate = false)
+          spark.stop(); sys.exit(0)
+        case _ => // validate
+          val outDir = args.lift(2)
+          val keyCol = args.lift(3).getOrElse(df.columns.head)
+          val verdicts = plan.verdicts(df).orderBy("partition_id")
+          println("== per-partition verdicts ==")
+          verdicts.show(100, truncate = false)
+          val violations = plan.violations(df, Seq(keyCol))
+          println("== violations (sample) ==")
+          violations.show(20, truncate = false)
+          val stats = plan.checkStats(df)
+          println("== per-check violation counts ==")
+          stats.show(100, truncate = false)
+          outDir.foreach { d =>
+            violations.write.mode("overwrite").parquet(s"$d/violations")
+            verdicts.write.mode("overwrite").parquet(s"$d/verdicts")
+          }
+          val allValid = plan.isValid(df)
+          println(s"valid: $allValid")
+          spark.stop()
+          sys.exit(if (allValid) 0 else 1)
+      }
+    } catch {
+      case e: SpecError =>
         System.err.println(s"invalid spec: ${e.getMessage}")
         spark.stop(); sys.exit(2)
     }

@@ -228,6 +228,81 @@ object Spec {
 
   private def jsonType(name: String): JsonType =
     JsonType.fromName(name).getOrElse(throw new SpecError(s"unknown type: $name"))
+
+  /** Render a Spec back to its JSON document form (inverse of [[parse]]) —
+    * the output surface for `canonicalize`/`dereference`/`bundle` verbs
+    * (the reference returns serde_json::Value from those). */
+  def toJson(s: Spec): JsonValue = s match {
+    case Accept => JBool(true)
+    case Reject => JBool(false)
+    case o: Obj =>
+      val fields = Vector.newBuilder[(String, JsonValue)]
+      def num(n: BigDecimal): JsonValue = JNum(n)
+      def int(n: Long): JsonValue = JNum(BigDecimal(n))
+      o.id.foreach(v => fields += ("$id" -> JStr(v)))
+      o.anchor.foreach(v => fields += ("$anchor" -> JStr(v)))
+      o.dynamicAnchor.foreach(v => fields += ("$dynamicAnchor" -> JStr(v)))
+      if (o.recursiveAnchor) fields += ("$recursiveAnchor" -> JBool(true))
+      o.ref.foreach(v => fields += ("$ref" -> JStr(v)))
+      o.dynamicRef.foreach(v => fields += ("$dynamicRef" -> JStr(v)))
+      o.recursiveRef.foreach(v => fields += ("$recursiveRef" -> JStr(v)))
+      o.types.foreach { ts =>
+        val names = JsonType.all.filter(ts.contains).map(t => JStr(t.name): JsonValue).toVector
+        fields += ("type" -> (if (names.length == 1) names.head else JArr(names)))
+      }
+      o.const.foreach(v => fields += ("const" -> v))
+      o.enumVals.foreach(vs => fields += ("enum" -> JArr(vs)))
+      o.minimum.foreach(v => fields += ("minimum" -> num(v)))
+      o.maximum.foreach(v => fields += ("maximum" -> num(v)))
+      o.exclusiveMinimum.foreach(v => fields += ("exclusiveMinimum" -> num(v)))
+      o.exclusiveMaximum.foreach(v => fields += ("exclusiveMaximum" -> num(v)))
+      o.multipleOf.foreach(v => fields += ("multipleOf" -> num(v)))
+      o.minLength.foreach(v => fields += ("minLength" -> int(v)))
+      o.maxLength.foreach(v => fields += ("maxLength" -> int(v)))
+      o.pattern.foreach(v => fields += ("pattern" -> JStr(v)))
+      o.format.foreach(v => fields += ("format" -> JStr(v)))
+      o.contentEncoding.foreach(v => fields += ("contentEncoding" -> JStr(v)))
+      o.contentMediaType.foreach(v => fields += ("contentMediaType" -> JStr(v)))
+      o.contentSchema.foreach(v => fields += ("contentSchema" -> toJson(v)))
+      if (o.properties.nonEmpty)
+        fields += ("properties" -> JObj(o.properties.map { case (k, v) => k -> toJson(v) }))
+      if (o.patternProperties.nonEmpty)
+        fields += ("patternProperties" -> JObj(o.patternProperties.map { case (k, v) => k -> toJson(v) }))
+      o.additionalProperties.foreach(v => fields += ("additionalProperties" -> toJson(v)))
+      o.propertyNames.foreach(v => fields += ("propertyNames" -> toJson(v)))
+      if (o.required.nonEmpty)
+        fields += ("required" -> JArr(o.required.map(JStr(_))))
+      o.minProperties.foreach(v => fields += ("minProperties" -> int(v)))
+      o.maxProperties.foreach(v => fields += ("maxProperties" -> int(v)))
+      if (o.dependentRequired.nonEmpty)
+        fields += ("dependentRequired" -> JObj(o.dependentRequired.map {
+          case (k, deps) => k -> JArr(deps.map(JStr(_)))
+        }))
+      if (o.dependentSchemas.nonEmpty)
+        fields += ("dependentSchemas" -> JObj(o.dependentSchemas.map { case (k, v) => k -> toJson(v) }))
+      o.items.foreach(v => fields += ("items" -> toJson(v)))
+      if (o.prefixItems.nonEmpty)
+        fields += ("prefixItems" -> JArr(o.prefixItems.map(toJson)))
+      o.minItems.foreach(v => fields += ("minItems" -> int(v)))
+      o.maxItems.foreach(v => fields += ("maxItems" -> int(v)))
+      if (o.uniqueItems) fields += ("uniqueItems" -> JBool(true))
+      o.contains.foreach(v => fields += ("contains" -> toJson(v)))
+      o.minContains.foreach(v => fields += ("minContains" -> int(v)))
+      o.maxContains.foreach(v => fields += ("maxContains" -> int(v)))
+      if (o.allOf.nonEmpty) fields += ("allOf" -> JArr(o.allOf.map(toJson)))
+      if (o.anyOf.nonEmpty) fields += ("anyOf" -> JArr(o.anyOf.map(toJson)))
+      if (o.oneOf.nonEmpty) fields += ("oneOf" -> JArr(o.oneOf.map(toJson)))
+      o.not.foreach(v => fields += ("not" -> toJson(v)))
+      o.ifSpec.foreach(v => fields += ("if" -> toJson(v)))
+      o.thenSpec.foreach(v => fields += ("then" -> toJson(v)))
+      o.elseSpec.foreach(v => fields += ("else" -> toJson(v)))
+      o.unevaluatedProperties.foreach(v => fields += ("unevaluatedProperties" -> toJson(v)))
+      o.unevaluatedItems.foreach(v => fields += ("unevaluatedItems" -> toJson(v)))
+      if (o.defs.nonEmpty)
+        fields += ("$defs" -> JObj(o.defs.toVector.sortBy(_._1).map { case (k, v) => k -> toJson(v) }))
+      o.others.foreach { case (k, v) => fields += (k -> v) }
+      JObj(fields.result())
+  }
 }
 
 /** Spec meta-validation failure — the analog of the reference's

@@ -102,6 +102,38 @@ class AuditStreamingSpec extends AnyFunSuite {
     assert(out.count() > 1) // multiple hourly windows
   }
 
+  test("stateful per-key verdicts accumulate across micro-batches (mapGroupsWithState)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.IntegerType)))
+    val plan = Validation.compile("""{"properties":{"value":{"maximum":10}}}""", schema)
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val stream = input.toDF().toDF("user", "value")
+    val verdicts = StreamingValidation.statefulKeyVerdicts(stream, plan, "user", alertThreshold = 2)
+    val q = verdicts.writeStream.outputMode("update")
+      .format("memory").queryName("keyverdicts").start()
+    try {
+      // batch 1: u1 gets 2 violations (no alert yet), u2 clean
+      input.addData(("u1", 99), ("u1", 50), ("u2", 1))
+      q.processAllAvailable()
+      // batch 2: u1's third violation crosses the threshold → alert
+      input.addData(("u1", 77), ("u2", 2))
+      q.processAllAvailable()
+      val out = spark.sql("select * from keyverdicts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // last emission per key reflects CUMULATIVE state across batches
+      val lastU1 = out.filter(_._1 == "u1").maxBy(_._2)
+      assert(lastU1 == ("u1", 3L, 3L, true), out.mkString(","))
+      val lastU2 = out.filter(_._1 == "u2").maxBy(_._2)
+      assert(lastU2 == ("u2", 2L, 0L, false), out.mkString(","))
+      // batch-1 emission for u1 must NOT have alerted (2 <= threshold)
+      assert(out.contains(("u1", 2L, 2L, false)), out.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming violation rows are stateless append") {
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
