@@ -61,9 +61,12 @@ object TextOps {
       round(when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(0d), 4).as("stopword_ratio"))
   }
 
-  val stopwords: Seq[String] = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+  /** Single source of truth is the compiled kernel's set
+    * (graft.functions.VecFns.Stopwords) — exposed here for API users. */
+  val stopwords: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    graft.functions.VecFns.Stopwords.asScala.toSeq.sorted
+  }
 
   /** Composite quality score in [0,1]: length sweet-spot × low punct ×
     * stopword presence (heuristic in the spirit of public quality
@@ -77,13 +80,14 @@ object TextOps {
   }
 
   /** Language-ID heuristic: argmax of language-marker stopword hits
-    * (n-gram/stopword heuristic; ties and no-hits → "und"). */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
-    "es" -> Seq("el", "la", "que", "de", "los", "las", "una", "por", "con", "para"),
-    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "pour", "que"),
-  )
+    * (n-gram/stopword heuristic; ties and no-hits → "und"). Source of
+    * truth is the compiled kernel's sets (VecFns.MarkersXx). */
+  val langMarkers: Seq[(String, Seq[String])] = {
+    import scala.jdk.CollectionConverters._
+    import graft.functions.VecFns._
+    Seq("en" -> MarkersEn, "de" -> MarkersDe, "es" -> MarkersEs, "fr" -> MarkersFr)
+      .map { case (l, s) => l -> s.asScala.toSeq.sorted }
+  }
 
   def langId(c: Column): Column = {
     val st = stats(c)

@@ -65,4 +65,31 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), p) // WholeStageCodegen stage marker
   }
+
+  test("FULL clips suite fuses into one codegen stage (r2 regression: filter() HOF evicted it)") {
+    // the violations array must be built from codegen-capable concat, not a
+    // higher-order function — one non-codegen expression drops the whole
+    // Project out of WholeStageCodegen and re-evaluates the audio decode
+    // interpreted per entry (measured 6x per row)
+    val clips = graft.audio.ClipsGen.generate(spark, 50, partitions = 1, corruptionRate = 0.0)
+    val df = clips.toDF()
+    val plan = graft.audio.AudioChecks.fullPlan(df.schema)
+    val q = plan.withValidation(df)
+    val projects = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Project")).toSeq
+    assert(projects.nonEmpty)
+    projects.foreach(l => assert(l.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*"),
+      s"Project fell out of WholeStageCodegen:\n$l"))
+  }
+
+  test("text-stats queries are codegen'd (r2 regression: aggregate/filter HOFs)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = docs.select(
+      graft.text.TextOps.tokenCount(col("text")).as("n"),
+      graft.text.TextOps.qualityScore(col("text")).as("q"),
+      graft.text.TextOps.langId(col("text")).as("l"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p)
+    assert(!p.toLowerCase.contains("lambdafunction"), p) // no interpreted HOFs
+  }
 }
