@@ -77,6 +77,52 @@ object Multimodal {
       .withColumn("out_h", floor(col("meta_h") * scale).cast("int"))
   }
 
+  // ======== REAL MODALITY: audio ========
+  // The audio codecs ARE implementable pure-JVM (graft.audio.Pcm:
+  // pcm16/dpcm16/ulaw8), so the audio decode stage is REAL, not a stub —
+  // same batch shape as the stubbed image/video path.
+
+  final case class AudioRow(clip_id: String, bytes: Array[Byte],
+                            codec: String, sr_hz: Int)
+
+  final case class AudioFeatures(clip_id: String, n_samples: Int, dur_ms: Double,
+                                 rms: Double, peak: Int, zero_cross_rate: Double)
+
+  /** Real batched audio decode + feature extraction (duration, RMS energy,
+    * peak amplitude, zero-crossing rate). Undecodable payloads are dropped
+    * (the validation plan reports them; feature extraction is downstream
+    * of validation in a pipeline). */
+  def decodeAudioBatch(batch: Seq[AudioRow]): Seq[AudioFeatures] =
+    batch.flatMap { r =>
+      graft.audio.Pcm.decode(r.codec, r.bytes).flatMap { s =>
+        if (s.isEmpty || r.sr_hz <= 0) None
+        else {
+          var sq = 0.0; var peak = 0; var zc = 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            sq += v.toDouble * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+            i += 1
+          }
+          Some(AudioFeatures(r.clip_id, s.length, s.length * 1000.0 / r.sr_hz,
+            math.sqrt(sq / s.length),
+            peak,
+            if (s.length > 1) zc.toDouble / (s.length - 1) else 0.0))
+        }
+      }
+    }
+
+  /** Batch-shaped REAL audio feature stage — partition-preserving, no
+    * shuffle, same contract as decodeFeatures. */
+  def audioFeatures(ds: Dataset[AudioRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decodeAudioBatch(batch.toSeq))
+    }
+  }
+
   /** Deterministic fake media table (seeded) for tests/bench. */
   def generate(spark: SparkSession, n: Long, partitions: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._

@@ -38,6 +38,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("REAL audio modality: batched decode + features match a direct computation") {
+    import spark.implicits._
+    import graft.mm.Multimodal.AudioRow
+    val clips = graft.audio.ClipsGen.generate(spark, 200, partitions = 4, corruptionRate = 0.0)
+    val rows = clips.map(c => AudioRow(c.clip_id, c.bytes, c.codec, c.sr_hz))
+    val feats = Multimodal.audioFeatures(rows, batchSize = 16)
+    // no shuffle — partition-preserving batch stage
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = feats.collect().map(f => f.clip_id -> f).toMap
+    assert(got.size == 200)
+    // spot-check one clip against a direct single-row computation
+    val one = clips.head()
+    val direct = Multimodal.decodeAudioBatch(
+      Seq(AudioRow(one.clip_id, one.bytes, one.codec, one.sr_hz))).head
+    val viaSpark = got(one.clip_id)
+    assert(viaSpark.n_samples == direct.n_samples)
+    assert(math.abs(viaSpark.rms - direct.rms) < 1e-9)
+    assert(viaSpark.peak == direct.peak && viaSpark.peak > 0)
+    assert(viaSpark.zero_cross_rate > 0.0 && viaSpark.zero_cross_rate < 1.0)
+    // duration consistent with the stored metadata
+    val meta = clips.filter(_.clip_id == one.clip_id).head()
+    assert(math.abs(viaSpark.dur_ms - meta.dur_ms) < 1.0)
+  }
+
   test("resize metadata clamps the long side") {
     val media = Multimodal.generate(spark, 50, partitions = 2).toDF()
     val resized = Multimodal.resizeMeta(media, maxSide = 32)
