@@ -382,6 +382,7 @@ object Canonical {
       lo.zip(hi).exists { case (l, h) => if (strict) l >= h else l > h }
     def only(ts: Set[JsonType]) = o.types.exists(t => t.nonEmpty && t.subsetOf(ts))
     val numOnly = only(Set(JsonType.Integer, JsonType.Number))
+    val intOnly = only(Set(JsonType.Integer))
     val strOnly = only(Set(JsonType.String))
     val arrOnly = only(Set(JsonType.Array))
     val objOnly = only(Set(JsonType.Object))
@@ -393,6 +394,7 @@ object Canonical {
       crossed(o.exclusiveMinimum, o.maximum, strict = true) ||
       crossed(o.minimum, o.exclusiveMaximum, strict = true) ||
       crossed(o.exclusiveMinimum, o.exclusiveMaximum, strict = true))) ||
+    (numOnly && numericGapEmpty(o, intOnly)) ||
     (strOnly && o.minLength.zip(o.maxLength).exists { case (l, h) => l > h }) ||
     (arrOnly && (
       o.minItems.zip(o.maxItems).exists { case (l, h) => l > h } ||
@@ -401,7 +403,82 @@ object Canonical {
     (objOnly && o.minProperties.zip(o.maxProperties).exists { case (l, h) => l > h }) ||
     o.const.exists(c => o.types.exists(ts => !typeOk(ts, c))) ||
     (o.anyOf.nonEmpty && o.anyOf.forall(_ == Spec.Reject)) ||
-    o.oneOf.contains(Spec.Reject)
+    o.oneOf.contains(Spec.Reject) ||
+    // oneOf whose branches are ALL structurally equal can never match
+    // exactly once (every verdict agrees → the count is 0 or n, never 1).
+    // NOTE a mere duplicate pair is NOT enough: {oneOf:[X,X,Y]} is still
+    // satisfiable by Y alone.
+    (o.oneOf.length >= 2 && o.oneOf.distinct.length == 1) ||
+    notSubsumesSelf(o) ||
+    valueWitnessFails(o)
+  }
+
+  /** {X, not: Y} where Y provably accepts everything X's scalar part
+    * accepts: every instance passing the schema also passes Y, so `not`
+    * always fails (negation.rs-class emptiness: multipleOf barred from
+    * itself, an integer window beside its complement, ...). Checks the
+    * `not` keyword and pure-not allOf members. */
+  private def notSubsumesSelf(o: Spec.Obj): Boolean = {
+    val scalarSelf = o.copy(not = None, allOf = Vector.empty, oneOf = Vector.empty,
+      anyOf = Vector.empty, ifSpec = None, thenSpec = None, elseSpec = None,
+      defs = Map.empty)
+    def kills(nt: Spec): Boolean = subsumes(nt, scalarSelf)
+    o.not.exists(kills) ||
+      o.allOf.exists {
+        case m: Spec.Obj if m.not.nonEmpty && only(m)(_.copy(not = None)) => kills(m.not.get)
+        case _ => false
+      }
+  }
+
+  /** const/enum whose every candidate value fails the REST of the schema
+    * (checked with the reference-faithful interpreter — covers bounds,
+    * multipleOf, pattern, applicators and negations in one rule). Only for
+    * self-contained schemas: refs resolve against the document root, which
+    * this subschema alone doesn't carry. */
+  private def valueWitnessFails(o: Spec.Obj): Boolean = {
+    val witnesses = o.const.map(Vector(_)).orElse(o.enumVals).getOrElse(Vector.empty)
+    witnesses.nonEmpty && !containsRefs(o) && {
+      val rest = if (o.const.nonEmpty) o.copy(const = None) else o.copy(enumVals = None)
+      witnesses.forall(v => !Interp.isValid(rest, v))
+    }
+  }
+
+  private def containsRefs(s: Spec): Boolean = s match {
+    case o: Spec.Obj =>
+      o.ref.nonEmpty || o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty ||
+        (subschemas(o) ++ o.contentSchema).exists(containsRefs)
+    case _ => false
+  }
+
+  /** Type-pinned numeric gap analysis (`ir/bound_rational.rs` /
+    * `ir/divisors.rs` lite): an integer-only window holding no integer, or
+    * a multipleOf whose first admissible multiple overshoots the window. */
+  private def numericGapEmpty(o: Spec.Obj, intOnly: Boolean): Boolean = {
+    val lo: Option[(BigDecimal, Boolean)] =
+      (o.minimum.map((_, false)) ++ o.exclusiveMinimum.map((_, true)))
+        .reduceOption((a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2)) a else b)
+    val hi: Option[(BigDecimal, Boolean)] =
+      (o.maximum.map((_, false)) ++ o.exclusiveMaximum.map((_, true)))
+        .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)
+    val intGap = intOnly && lo.nonEmpty && hi.nonEmpty && {
+      val (l, lx) = lo.get; val (h, hx) = hi.get
+      var li = l.setScale(0, BigDecimal.RoundingMode.CEILING)
+      if (lx && li == l) li += 1
+      var hiI = h.setScale(0, BigDecimal.RoundingMode.FLOOR)
+      if (hx && hiI == h) hiI -= 1
+      li > hiI
+    }
+    val multipleGap = o.multipleOf.exists { m =>
+      m.signum > 0 && lo.nonEmpty && hi.nonEmpty && {
+        val (l, lx) = lo.get; val (h, hx) = hi.get
+        // first multiple of m at/above the lower bound (exclusivity-aware)
+        var k = l.bigDecimal.divide(m.bigDecimal, 0, java.math.RoundingMode.CEILING)
+        var cand = BigDecimal(k) * m
+        if (lx && cand == l) cand += m
+        cand > h || (hx && cand == h)
+      }
+    }
+    intGap || multipleGap
   }
 
   private def typeOk(ts: Set[JsonType], v: JsonValue): Boolean = {
