@@ -162,7 +162,8 @@ object Canonical {
         g.maxItems.forall(gi => s.maxItems.exists(_ <= gi)) &&
         g.minProperties.forall(gi => s.minProperties.exists(_ >= gi)) &&
         g.maxProperties.forall(gi => s.maxProperties.exists(_ <= gi)) &&
-        (!g.uniqueItems || s.uniqueItems)
+        // arrays of <= 1 items are trivially unique
+        (!g.uniqueItems || s.uniqueItems || s.maxItems.exists(_ <= 1))
       val reqOk = g.required.forall(s.required.contains)
       val valuesOk = (g.const, g.enumVals) match {
         case (Some(c), _) =>
