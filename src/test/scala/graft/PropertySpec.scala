@@ -96,6 +96,20 @@ class PropertySpec extends AnyFunSuite {
       obj("allOf" -> JArr(Vector(obj("contains" -> obj("minimum" -> b), "minContains" -> mn))),
         "maxContains" -> mx)
 
+  /** $ref through $defs (and a self-recursive variant): exercises the
+    * registry resolution + compile-time unrolling paths. */
+  val genRefSpec: Gen[JsonValue] = for {
+    inner <- genScalarSpec
+    shape <- Gen.choose(0, 2)
+  } yield shape match {
+    case 0 => obj("$defs" -> obj("d" -> inner), "$ref" -> JStr("#/$defs/d"))
+    case 1 => obj("$defs" -> obj("d" -> inner),
+      "anyOf" -> JArr(Vector(obj("$ref" -> JStr("#/$defs/d")), obj("type" -> JStr("null")))))
+    case _ => obj("$defs" -> obj("d" -> merge(inner.asInstanceOf[JObj],
+        obj("properties" -> obj("a" -> obj("$ref" -> JStr("#/$defs/d")))))),
+      "$ref" -> JStr("#/$defs/d"))
+  }
+
   val genSpec: Gen[JsonValue] = Gen.frequency[Gen[JsonValue]](
     3 -> genScalarSpec,
     2 -> (for (a <- genScalarSpec; b <- genScalarSpec) yield merge(a.asInstanceOf[JObj], b.asInstanceOf[JObj])),
@@ -108,6 +122,7 @@ class PropertySpec extends AnyFunSuite {
       yield obj("if" -> i, "then" -> t, "else" -> e)),
     2 -> genUnevalSpec,
     2 -> genContainsSpec,
+    2 -> genRefSpec,
   ).flatMap(identity)
 
   test("engine verdict == interpreter verdict for generated (spec, instance) pairs") {
