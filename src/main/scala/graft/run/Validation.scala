@@ -76,7 +76,10 @@ final case class ValidationPlan(checks: Vector[Check],
       lit(a.instancePath).as("instanceLocation"),
       noMap.as("errors"),
       map(lit(a.keyword), lit(a.valueJson)).as("annotations"))
-    lazy val unitType = graft.functions.exprs.toExpr(checkUnit(checks.head)).dataType
+    // unit type derived from an annotation-shaped struct so an
+    // annotation-only plan (zero checks) still renders
+    lazy val unitType = graft.functions.exprs.toExpr(
+      annUnit(graft.compile.Annot("k", "", "", "null", lit(true)))).dataType
     def details: Column = {
       val base =
         if (checks.isEmpty) Vector.empty

@@ -60,6 +60,15 @@ class OutputV1Spec extends AnyFunSuite {
     assert(docs(1).contains("minimum"), docs(1))
   }
 
+  test("annotation-only plan (zero checks) still renders Output v1") {
+    val df2 = Seq("x").toDF("s")
+    val plan = Validation.compile("""{"properties":{"s":{"x-note": 1}}}""", df2.schema)
+    assert(plan.checks.isEmpty && plan.annotations.nonEmpty)
+    val doc = df2.select(to_json(plan.outputV1("list")).as("d")).as[String].collect()(0)
+    assert(Interp.isValid(outputSchema, JsonValue.parse(doc)), doc)
+    assert(doc.contains("x-note"))
+  }
+
   test("iterAnnotations emits one row per active annotation") {
     val plan = Validation.compile(specJson, df.schema)
     val rows = plan.iterAnnotations(df, Seq("a")).collect()
