@@ -435,13 +435,29 @@ object Canonical {
     * (checked with the reference-faithful interpreter — covers bounds,
     * multipleOf, pattern, applicators and negations in one rule). Only for
     * self-contained schemas: refs resolve against the document root, which
-    * this subschema alone doesn't carry. */
+    * this subschema alone doesn't carry.
+    *
+    * Also: schemas whose TYPE + size bounds pin the accepted set to a
+    * single possible value (string maxLength 0 → "", object
+    * maxProperties 0 → {}, array maxItems 0 → []) are unsatisfiable iff
+    * that one value fails the full schema. */
   private def valueWitnessFails(o: Spec.Obj): Boolean = {
-    val witnesses = o.const.map(Vector(_)).orElse(o.enumVals).getOrElse(Vector.empty)
-    witnesses.nonEmpty && !containsRefs(o) && {
-      val rest = if (o.const.nonEmpty) o.copy(const = None) else o.copy(enumVals = None)
-      witnesses.forall(v => !Interp.isValid(rest, v))
+    if (containsRefs(o)) return false
+    val fromValues = {
+      val witnesses = o.const.map(Vector(_)).orElse(o.enumVals).getOrElse(Vector.empty)
+      witnesses.nonEmpty && {
+        val rest = if (o.const.nonEmpty) o.copy(const = None) else o.copy(enumVals = None)
+        witnesses.forall(v => !Interp.isValid(rest, v))
+      }
     }
+    def only(ts: Set[JsonType]) = o.types.exists(t => t.nonEmpty && t.subsetOf(ts))
+    val pinned: Option[JsonValue] =
+      if (only(Set(JsonType.String)) && o.maxLength.contains(0L)) Some(JStr(""))
+      else if (only(Set(JsonType.Object)) && o.maxProperties.contains(0L)) Some(JObj(Vector.empty))
+      else if (only(Set(JsonType.Array)) && o.maxItems.contains(0L)) Some(JArr(Vector.empty))
+      else None
+    val fromPinnedDomain = pinned.exists(w => !Interp.isValid(o, w))
+    fromValues || fromPinnedDomain
   }
 
   private def containsRefs(s: Spec): Boolean = s match {
