@@ -60,9 +60,14 @@ object Bench {
     val clipsPath = clipsFixture(spark, nClips, cpus.toInt * 4)
     // warm the JVM/codegen once with a small slice
     validateClips(spark, clipsPath) // warmup (reads full set once)
-    val t0 = System.nanoTime()
-    val rows = validateClips(spark, clipsPath)
-    val clipSec = (System.nanoTime() - t0) / 1e9
+    // min of two timed runs: the shared microVM shows CPU-steal bursts,
+    // and min-of-reps is the steal-robust estimator (BENCH_SCALING.md)
+    var rows = 0L
+    val clipSec = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      rows = validateClips(spark, clipsPath)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val clipsPerSec = rows / clipSec
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
