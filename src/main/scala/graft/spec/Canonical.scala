@@ -119,11 +119,12 @@ object Canonical {
 
   // ---- oneOf disjointness / anyOf subsumption (`algebra.rs:415-727`) ---
 
-  /** Scalar-only leaf: no applicators, combinators, refs, annotations or
-    * identifiers — the fragment where set comparisons are decidable. */
+  /** Scalar-only leaf (propertyNames allowed — compared recursively): no
+    * other applicators, combinators, refs, annotations or identifiers —
+    * the fragment where set comparisons are decidable. */
   private def scalarLeaf(o: Spec.Obj): Boolean =
     o.properties.isEmpty && o.patternProperties.isEmpty &&
-      o.additionalProperties.isEmpty && o.propertyNames.isEmpty &&
+      o.additionalProperties.isEmpty &&
       o.dependentRequired.isEmpty && o.dependentSchemas.isEmpty &&
       o.items.isEmpty && o.prefixItems.isEmpty && o.contains.isEmpty &&
       o.allOf.isEmpty && o.anyOf.isEmpty && o.oneOf.isEmpty &&
@@ -165,6 +166,10 @@ object Canonical {
         // arrays of <= 1 items are trivially unique
         (!g.uniqueItems || s.uniqueItems || s.maxItems.exists(_ <= 1))
       val reqOk = g.required.forall(s.required.contains)
+      // propertyNames compared recursively: g's key-set constraint must
+      // cover s's (absent g.propertyNames covers any)
+      val pnOk = g.propertyNames.forall(gp =>
+        s.propertyNames.exists(sp => sp == gp || subsumes(gp, sp)))
       val valuesOk = (g.const, g.enumVals) match {
         case (Some(c), _) =>
           s.const.exists(JsonValue.equal(_, c)) ||
@@ -174,7 +179,7 @@ object Canonical {
             s.enumVals.exists(svs => svs.forall(sv => gvs.exists(JsonValue.equal(_, sv))))
         case _ => true
       }
-      typesOk && boundsOk && multOk && strOk && sizeOk && reqOk && valuesOk
+      typesOk && boundsOk && multOk && strOk && sizeOk && reqOk && pnOk && valuesOk
     case _ => false
   }
 
@@ -423,7 +428,18 @@ object Canonical {
     val scalarSelf = o.copy(not = None, allOf = Vector.empty, oneOf = Vector.empty,
       anyOf = Vector.empty, ifSpec = None, thenSpec = None, elseSpec = None,
       defs = Map.empty)
-    def kills(nt: Spec): Boolean = subsumes(nt, scalarSelf)
+    // structural equality also kills: the not-target's keywords are a
+    // subset of the schema's own, so every accepted instance satisfies it
+    // (covers applicator-bearing self-negations that subsumes' scalar-leaf
+    // fragment can't reason about)
+    // sibling conjuncts: the schema's remaining allOf members (each one a
+    // constraint every instance must satisfy)
+    val siblings: Vector[Spec] = scalarSelf +: o.allOf.filter {
+      case m: Spec.Obj => !(m.not.nonEmpty && only(m)(_.copy(not = None)))
+      case _ => true
+    }
+    def kills(nt: Spec): Boolean =
+      siblings.exists(sib => sib == nt || subsumes(nt, sib))
     o.not.exists(kills) ||
       o.allOf.exists {
         case m: Spec.Obj if m.not.nonEmpty && only(m)(_.copy(not = None)) => kills(m.not.get)
