@@ -140,7 +140,7 @@ object SpecCompiler {
     * to the plain column, so this costs nothing at runtime. */
   def compileRoot(spec: Spec, schema: StructType,
                   opts: CompileOptions = CompileOptions()): Vector[Check] = {
-    val rootCol = struct(schema.fieldNames.map(n => col(quoted(n))): _*)
+    val rootCol = struct(schema.fieldNames.toIndexedSeq.map(n => col(quoted(n))): _*)
     val checks = compile(spec, Target(rootCol, schema, ""), "", rootCtx(spec, opts))
     checks.sortBy(_.priority)
   }
@@ -149,7 +149,7 @@ object SpecCompiler {
     * `iter_annotations` inputs). */
   def compileRootFull(spec: Spec, schema: StructType,
                       opts: CompileOptions = CompileOptions()): (Vector[Check], Vector[Annot]) = {
-    val rootCol = struct(schema.fieldNames.map(n => col(quoted(n))): _*)
+    val rootCol = struct(schema.fieldNames.toIndexedSeq.map(n => col(quoted(n))): _*)
     val buf = scala.collection.mutable.Buffer[Annot]()
     val checks = compile(spec, Target(rootCol, schema, ""), "",
       rootCtx(spec, opts).copy(annots = Some(buf)))
