@@ -26,12 +26,18 @@ object Canonical {
     else canon(s, annotationsMatter = containsUnevaluated(s))
 
   /** Any $id, $anchor, dynamic/recursive anchors-or-refs, or a $ref that
-    * is not of the root-defs form (#, #/$defs/x, #/definitions/x)? */
+    * is not of the WHOLE-definition root-defs form (#, #/$defs/x,
+    * #/definitions/x)? A pointer INTO a definition's structure (e.g.
+    * #/$defs/x/allOf/0) also counts as advanced: structure-moving rewrites
+    * like allOf folding would dangle it. */
   def usesAdvancedReferencing(s: Spec): Boolean = s match {
     case o: Spec.Obj =>
+      def wholeDef(r: String, prefix: String) =
+        r.startsWith(prefix) && !r.stripPrefix(prefix).contains('/')
       o.id.nonEmpty || o.anchor.nonEmpty || o.dynamicAnchor.nonEmpty ||
         o.recursiveAnchor || o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty ||
-        o.ref.exists(r => r != "#" && !r.startsWith("#/$defs/") && !r.startsWith("#/definitions/")) ||
+        o.ref.exists(r => r != "#" &&
+          !wholeDef(r, "#/$defs/") && !wholeDef(r, "#/definitions/")) ||
         (Canonical.subschemas(o) ++ o.contentSchema).exists(usesAdvancedReferencing)
     case _ => false
   }

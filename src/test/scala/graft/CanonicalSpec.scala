@@ -142,6 +142,20 @@ class CanonicalSpec extends AnyFunSuite {
     assert(g4.oneOf.isEmpty && g4.anyOf.length == 2)
   }
 
+  test("pointer refs INTO definitions disable structure-moving rewrites") {
+    // folding would dangle #/$defs/x/allOf/0 — the document must pass
+    // through untouched (conservative Raw gate)
+    val json = """{"properties":{"p":{"$ref":"#/$defs/x/allOf/0"}},
+                   "$defs":{"x":{"allOf":[{"minimum":1},{"maximum":9}]}}}"""
+    val spec = Spec.parseJson(json)
+    assert(Canonical.canonicalize(spec) == spec)
+    // whole-definition refs still canonicalize
+    val ok = canon("""{"properties":{"p":{"$ref":"#/$defs/x"}},
+                       "$defs":{"x":{"allOf":[{"minimum":1},{"maximum":9}]}}}""")
+      .asInstanceOf[Spec.Obj]
+    assert(ok.defs("x").asInstanceOf[Spec.Obj].allOf.isEmpty)
+  }
+
   test("allOf with combinator members stays as allOf") {
     val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
       .asInstanceOf[Spec.Obj]
