@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Connected components over a near-duplicate pair list — turns pairwise
+  * dedup output (`minhashNearDups` / `ngramJaccardPairs` / `simhashNearDups`)
+  * into duplicate GROUPS with a canonical representative (the minimum id),
+  * so a pipeline can keep exactly one document per group.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+  * shuffle-parallel formulation. Each round is two self-equijoins on the
+  * node id (hash-partitioned, map-side combinable); no driver-side graph
+  * state, no collect. Converges in O(log^2 n) rounds on adversarial long
+  * paths and 2-3 rounds on the tight clusters dedup actually produces.
+  * Per-round `localCheckpoint` truncates lineage so the plan does not grow
+  * exponentially with iterations (the classic iterative-DataFrame trap).
+  *
+  * At 100 TB scale the edge list (near-dup pairs) is orders of magnitude
+  * smaller than the corpus, and every round shuffles only (node, parent)
+  * longs — this is the same shape GraphFrames/GraphX use for CC, without
+  * the RDD round-trip.
+  */
+object Components {
+
+  /** (id_a, id_b) pair list → (id, component) where component = min id of
+    * the connected component. Every node appearing in any pair is present
+    * exactly once. Ids must be non-null; any orderable type works but ids
+    * are compared with `<`, so mixed-type ids must share one column type.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // Undirected edge list, both orientations, no self-loops.
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: for each u over the SYMMETRIZED neighborhood,
+    // m = min(N(u) ∪ {u}); emit (v, m) for v > u — hooks every larger
+    // neighbor directly to the local minimum. Output edges all satisfy
+    // second < first (child → parent).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: over parent-pointing edges (v < u), m = min parent;
+    // emit (u, m) and (p, m) for the non-min parents p. Flattens chains.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.where(col("v") < col("u"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val relink = dir.join(m, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val keep = m.select(col("u"), col("m").as("v"))
+      relink.union(keep).distinct()
+    }
+
+    var e = smallStar(e0) // orient: every node points to a smaller neighbor
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // Fixed point ⇔ identical edge set: same size and same order-free
+      // checksum (sum of per-edge hashes — one cheap full-agg job).
+      val Array(cs0) = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()
+      val Array(cs1) = next.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()
+      converged = cs0 == cs1
+      e.unpersist(false)
+      e = next
+      i += 1
+    }
+    val out = e0.select(col("u")).union(e0.select(col("v"))).distinct()
+      .join(e.withColumnRenamed("v", "component"), Seq("u"), "left")
+      .select(col("u").as("id"), coalesce(col("component"), col("u")).as("component"))
+    val res = out.localCheckpoint(true)
+    e.unpersist(false); e0.unpersist(false)
+    res
+  }
+
+  /** End-to-end duplicate grouping: exact n-gram-Jaccard pairs above
+    * `threshold` → connected components → (id, component, group_size),
+    * group_size > 1 only (singletons are not duplicates). `keepOne`
+    * downstream = filter `id =!= component`. */
+  def jaccardDupGroups(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxDocFreq: Int = 0): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy("component").agg(count(lit(1)).cast(LongType).as("group_size"))
+    cc.join(sizes, "component")
+      .select(col("id"), col("component"), col("group_size"))
+  }
+}

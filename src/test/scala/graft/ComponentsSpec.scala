@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.Components
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side union-find ground truth (path compression). */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // normalize: component = min id in the set
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val minOf = roots.groupBy(_._2).map { case (r, kv) => r -> kv.keys.min }
+    roots.map { case (k, r) => k -> minOf(r) }
+  }
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph collapses to one component (exercises multiple rounds)") {
+    val path = (1L until 64L).map(i => (i, i + 1))
+    val got = run(path)
+    assert(got.keySet == (1L to 64L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("disjoint clusters, stars and a triangle") {
+    val pairs = Seq((10L, 2L), (10L, 7L), (2L, 7L),        // triangle, min 2
+      (20L, 21L), (20L, 22L), (20L, 23L),                   // star, min 20
+      (40L, 41L))                                           // pair
+    assert(run(pairs) == unionFind(pairs))
+  }
+
+  test("random graphs match union-find ground truth") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 60 + trial * 20
+      val pairs = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(pairs) == unionFind(pairs), s"trial $trial")
+    }
+  }
+
+  test("string ids work and every endpoint appears exactly once") {
+    val df = Seq(("d1", "d2"), ("d2", "d3"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1", "x" -> "x", "y" -> "x"))
+  }
+
+  test("empty pair list yields empty mapping") {
+    val df = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponents(df).count() == 0)
+  }
+
+  test("jaccardDupGroups groups near-identical docs with sizes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different text about spark catalyst expressions engine")
+    ).toDF("id", "text")
+    val got = Components.jaccardDupGroups(docs, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L))
+    assert(byId.values.toSet == Set((1L, 3L)))
+  }
+}
