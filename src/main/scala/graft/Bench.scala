@@ -40,6 +40,24 @@ object Bench {
     row.getAs[Long]("rows")
   }
 
+  /** Audio-quality profile: one decode pass per clip (pcm_stats kernel),
+    * aggregated per codec — loudness / clipping / silence / ZCR, the audio
+    * analog of the text quality features. */
+  def audioQualityProfile(spark: SparkSession, path: String): Long = {
+    val df = spark.read.parquet(path)
+    val st = graft.audio.expressions.pcm_stats(col("bytes"), col("codec"))
+    df.select(col("codec"), st.as("st"))
+      .groupBy("codec")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("st").isNull, 1L).otherwise(0L)).as("undecodable"),
+        avg(col("st.rms_dbfs")).as("avg_rms_dbfs"),
+        avg(col("st.zcr")).as("avg_zcr"),
+        max(col("st.clip_frac")).as("max_clip_frac"),
+        sum(when(col("st.rms_dbfs") < -60.0, 1L).otherwise(0L)).as("near_silent"))
+      .count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,6 +92,12 @@ object Bench {
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
     results("clips_full_suite") = clipSec
     status("clips_full_suite") = "ok"
+    results("clips_audio_quality") = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      audioQualityProfile(spark, clipsPath)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    status("clips_audio_quality") = "ok"
     // min over reps: steal-robust estimator on the shared microVM
     // (BENCH_SCALING.md); a crashing query must NOT report as a fast
     // time — its status is recorded and the full rep time counts

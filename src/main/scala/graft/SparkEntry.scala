@@ -137,6 +137,14 @@ object SparkEntry {
     }),
 
     // -- text: quality scoring -------------------------------------------
+    // -- quality: token-repetition ratio (Gopher-style degenerate-text flag)
+    "q_docs_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_docs_quality" -> ((s, dir) => {
       val f = TextOps.qualityFeatures(col("text"))
       t(s, dir, "documents").select(
@@ -453,6 +461,17 @@ object SparkEntry {
                   ELSE list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                        t -> ceil(length(t) / 4.0)::BIGINT)) END AS n_subwords
       FROM documents ORDER BY doc_id""",
+
+    "q_docs_repetition" -> """
+      WITH w AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS tk
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(tk))::DOUBLE / len(tk), 4) END AS rep_ratio
+      FROM w ORDER BY doc_id""",
 
     "q_docs_quality" -> """
       WITH f AS (

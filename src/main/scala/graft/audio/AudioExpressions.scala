@@ -29,6 +29,51 @@ object AudioFns {
 
   def expectedTranscript(clipId: UTF8String): UTF8String =
     UTF8String.fromString(Pcm.expectedTranscript(clipId.toString))
+
+  /** Audio-quality statistics of the decoded payload — the audio analog of
+    * the text quality features (training-data pipelines filter clips on
+    * loudness / clipping / silence exactly like they filter documents on
+    * punctuation ratio). One decode + one pass:
+    *   n_samples, rms_dbfs (20·log10(rms/FS), floored at -120 for digital
+    *   silence), peak (|s|max/FS), clip_frac (fraction of samples at
+    *   ±full-scale), zcr (zero-crossing rate per sample step).
+    * null ⇒ undecodable payload / unknown codec. */
+  def pcmStats(bytes: Array[Byte], codec: UTF8String): InternalRow = {
+    val decoded = Pcm.decode(codec.toString, bytes).orNull
+    if (decoded == null) return null
+    val n = decoded.length
+    if (n == 0)
+      return new GenericInternalRow(Array[Any](0, -120.0, 0.0, 0.0, 0.0))
+    val FS = 32768.0
+    var sumSq = 0.0; var peak = 0; var nClip = 0; var nCross = 0
+    var prevSign = 0 // -1, 0, +1; zero samples don't count as crossings
+    var i = 0
+    while (i < n) {
+      val s = decoded(i).toInt
+      sumSq += s.toDouble * s.toDouble
+      val a = if (s < 0) -s else s
+      if (a > peak) peak = a
+      if (s >= 32767 || s <= -32768) nClip += 1
+      val sign = java.lang.Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) nCross += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    val rms = math.sqrt(sumSq / n)
+    val rmsDbfs = if (rms <= 0) -120.0 else math.max(-120.0, 20.0 * math.log10(rms / FS))
+    new GenericInternalRow(Array[Any](
+      n, rmsDbfs, peak / FS, nClip.toDouble / n,
+      if (n > 1) nCross.toDouble / (n - 1) else 0.0))
+  }
+
+  val pcmStatsType: StructType = StructType(Seq(
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("rms_dbfs", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false),
+    StructField("clip_frac", DoubleType, nullable = false),
+    StructField("zcr", DoubleType, nullable = false)))
 }
 
 /** snr_db(clip_id, bytes, codec, sr_hz, dur_ms) — codegen-capable custom
@@ -63,6 +108,23 @@ case class ExpectedTranscript(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** pcm_stats(bytes, codec) → struct(n_samples, rms_dbfs, peak, clip_frac,
+  * zcr); null when the payload doesn't decode. Codegen-capable: the decode
+  * + one-pass stats loop stays a single static call inside WholeStageCodegen
+  * (same rule as AudioSnr — no UDFs on the hot path). */
+case class PcmStats(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = AudioFns.pcmStatsType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(bytes: Any, codec: Any): Any =
+    AudioFns.pcmStats(bytes.asInstanceOf[Array[Byte]], codec.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"""${ev.value} = graft.audio.AudioFns.pcmStats($b, $c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PcmStats =
+    copy(left = newLeft, right = newRight)
+}
+
 object expressions {
   def audio_snr(clipId: Column, bytes: Column, codec: Column,
                 srHz: Column, durMs: Column): Column =
@@ -71,4 +133,7 @@ object expressions {
 
   def expected_transcript(clipId: Column): Column =
     ColumnBridge.toCol(ExpectedTranscript(ColumnBridge.toExpr(clipId)))
+
+  def pcm_stats(bytes: Column, codec: Column): Column =
+    ColumnBridge.toCol(PcmStats(ColumnBridge.toExpr(bytes), ColumnBridge.toExpr(codec)))
 }

@@ -79,6 +79,16 @@ object TextOps {
     round(lenScore * lit(0.5) + punctScore * lit(0.3) + stopScore * lit(0.2), 4)
   }
 
+  /** Token-repetition ratio: 1 - distinct_tokens/tokens (a Gopher-style
+    * repetition quality signal — high values flag degenerate/looping text,
+    * a common failure mode in web-scraped training corpora). Plain
+    * codegen'd collection functions; empty/null text → 0. */
+  def repetitionRatio(c: Column): Column = {
+    val tk = tokens(c)
+    when(size(tk) === 0, lit(0d))
+      .otherwise(round(lit(1d) - size(array_distinct(tk)).cast(DoubleType) / size(tk), 4))
+  }
+
   /** Language-ID heuristic: argmax of language-marker stopword hits
     * (n-gram/stopword heuristic; ties and no-hits → "und"). Source of
     * truth is the compiled kernel's sets (VecFns.MarkersXx). */

@@ -69,6 +69,54 @@ class AudioSpec extends AnyFunSuite {
     assert(snrs.forall(_ >= 30.0))
   }
 
+  test("pcm_stats: exact values on constructed signals, codegen, null on bad codec") {
+    import spark.implicits._
+    import graft.audio.Pcm
+    // square wave ±16384: rms_dbfs = 20·log10(0.5), zcr = 1, no clipping
+    val square = Array.tabulate(1000)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+    // constant full-scale: clip_frac = 1, zcr = 0, peak = 32767/32768
+    val railed = Array.fill(500)(32767.toShort)
+    // digital silence: rms floored at -120 dBFS
+    val silent = Array.fill(100)(0.toShort)
+    val df = Seq(
+      (1L, Pcm.encodePcm16(square), "pcm16"),
+      (2L, Pcm.encodePcm16(railed), "pcm16"),
+      (3L, Pcm.encodePcm16(silent), "pcm16"),
+      (4L, Array[Byte](1, 2, 3), "opus")).toDF("id", "bytes", "codec")
+      .repartition(1) // barrier: stop ConvertToLocalRelation from folding
+      .select(col("id"), expressions.pcm_stats(col("bytes"), col("codec")).as("st"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    // AQE finalizes codegen spans only after execution
+    val physical = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[id.*pcmstats".r.findFirstIn(physical).nonEmpty, physical)
+    val sq = rows(1L).get
+    assert(sq.getInt(0) == 1000)
+    assert(math.abs(sq.getDouble(1) - 20.0 * math.log10(0.5)) < 1e-9)
+    assert(sq.getDouble(3) == 0.0 && math.abs(sq.getDouble(4) - 1.0) < 1e-9)
+    val rl = rows(2L).get
+    assert(rl.getDouble(3) == 1.0 && rl.getDouble(4) == 0.0)
+    assert(math.abs(rl.getDouble(2) - 32767.0 / 32768.0) < 1e-12)
+    val si = rows(3L).get
+    assert(si.getDouble(1) == -120.0 && si.getDouble(2) == 0.0)
+    assert(rows(4L).isEmpty) // undecodable → null struct, isNull propagated
+  }
+
+  test("pcm_stats agrees across codecs for the generator's clean clips") {
+    val clips = ClipsGen.generate(spark, 30, partitions = 1, corruptionRate = 0.0)
+    val stats = clips.toDF()
+      .select(expressions.pcm_stats(col("bytes"), col("codec")).as("st"),
+        col("sr_hz"), col("dur_ms"))
+      .collect()
+    stats.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st != null)
+      assert(st.getInt(0) == graft.audio.Pcm.numSamples(r.getInt(1), r.getInt(2)))
+      // synthesized speech-like audio: audible but unclipped
+      assert(st.getDouble(1) > -60.0 && st.getDouble(1) <= 0.0)
+      assert(st.getDouble(3) < 0.05)
+    }
+  }
+
   test("expected_transcript expression matches generator") {
     val clips = ClipsGen.generate(spark, 50, partitions = 1, corruptionRate = 0.0)
     val bad = clips.toDF()

@@ -23,6 +23,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("repetitionRatio: degenerate text scores high, unique text zero") {
+    val df = Seq(Doc(1, "spam spam spam spam"), Doc(2, "all tokens unique here"),
+      Doc(3, ""), Doc(4, null), Doc(5, "a b a b")).toDF()
+    val got = df.select(col("id"), TextOps.repetitionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.75, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.5))
+  }
+
   test("exactDupGroups finds duplicate groups") {
     val df = Seq(Doc(1, "a b"), Doc(2, "A  b"), Doc(3, "c")).toDF()
     val d = TextOps.exactDupGroups(df, "text").collect()
