@@ -422,7 +422,122 @@ object Canonical {
     // satisfiable by Y alone.
     (o.oneOf.length >= 2 && o.oneOf.distinct.length == 1) ||
     notSubsumesSelf(o) ||
+    (objOnly && o.maxProperties.exists(_ < o.required.distinct.size)) ||
+    notDominatesPinnedKeys(o, objOnly) ||
     valueWitnessFails(o)
+  }
+
+  /** `required` + `maxProperties` can pin the accepted objects' KEY SET to
+    * exactly `required` (|keys| ≤ max ≤ |required| and required ⊆ keys).
+    * If a negated conjunct (`not`, or a `not` inside an allOf member)
+    * necessarily accepts every object with that key set — judged by the
+    * three-valued abstract evaluation below, values unknown — then `not`
+    * always fails and the schema is unsatisfiable
+    * (negation.rs-class emptiness over key-only keywords). */
+  private def notDominatesPinnedKeys(o: Spec.Obj, objOnly: Boolean): Boolean = {
+    objOnly && o.required.nonEmpty &&
+    o.maxProperties.exists(_ == o.required.distinct.size) && {
+      val keys = o.required.toSet
+      val notTargets = o.not.toVector ++ o.allOf.collect {
+        case m: Spec.Obj if m.not.nonEmpty => m.not.get
+      }
+      notTargets.exists(nt => abstractObjEval(nt, keys).contains(true))
+    }
+  }
+
+  /** Three-valued evaluation of `s` against an ABSTRACT object instance
+    * with known key set `keys` and unknown values: Some(true) = every such
+    * object passes, Some(false) = every such object fails, None = verdict
+    * depends on the values. Non-object scalar keywords are vacuously true;
+    * value-dependent applicators yield None unless trivially Accept/Reject.
+    */
+  private def abstractObjEval(s: Spec, keys: Set[String]): Option[Boolean] = s match {
+    case Spec.Accept => Some(true)
+    case Spec.Reject => Some(false)
+    case o: Spec.Obj =>
+      if (o.ref.nonEmpty || o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty) return None
+      val vs = Vector.newBuilder[Option[Boolean]]
+      o.types.foreach(ts => vs += Some(ts.contains(JsonType.Object)))
+      // const/enum: always-false when no candidate has this key set;
+      // otherwise value-dependent
+      o.const.foreach {
+        case JObj(fields) if fields.map(_._1).toSet == keys => vs += None
+        case _ => vs += Some(false)
+      }
+      o.enumVals.foreach { cands =>
+        val possible = cands.exists {
+          case JObj(fields) => fields.map(_._1).toSet == keys
+          case _ => false
+        }
+        vs += (if (possible) None else Some(false))
+      }
+      // key-only object keywords: fully decidable from the key set
+      o.propertyNames.foreach { pn =>
+        vs += (if (containsRefs(pn)) None
+               else Some(keys.forall(k => Interp.isValid(pn, JStr(k)))))
+      }
+      if (o.required.nonEmpty) vs += Some(o.required.forall(keys.contains))
+      o.minProperties.foreach(n => vs += Some(keys.size >= n))
+      o.maxProperties.foreach(n => vs += Some(keys.size <= n))
+      o.dependentRequired.foreach { case (k, reqs) =>
+        vs += Some(!keys.contains(k) || reqs.forall(keys.contains))
+      }
+      // value-dependent object applicators
+      def applied(sub: Spec, applies: Boolean): Option[Boolean] =
+        if (!applies) Some(true)
+        else sub match {
+          case Spec.Accept => Some(true)
+          case Spec.Reject => Some(false)
+          case _ => None
+        }
+      o.properties.foreach { case (k, sub) => vs += applied(sub, keys.contains(k)) }
+      if (o.patternProperties.nonEmpty)
+        vs += (if (o.patternProperties.forall(_._2 == Spec.Accept)) Some(true) else None)
+      o.additionalProperties.foreach { ap =>
+        // additional keys are decidable only when patternProperties is empty
+        if (o.patternProperties.nonEmpty) vs += None
+        else {
+          val extra = keys -- o.properties.map(_._1)
+          vs += applied(ap, extra.nonEmpty)
+        }
+      }
+      if (o.unevaluatedProperties.exists(_ != Spec.Accept)) vs += None
+      o.dependentSchemas.foreach { case (k, sub) =>
+        vs += (if (keys.contains(k)) abstractObjEval(sub, keys) else Some(true))
+      }
+      // combinators (three-valued)
+      o.allOf.foreach(m => vs += abstractObjEval(m, keys))
+      if (o.anyOf.nonEmpty) {
+        val bs = o.anyOf.map(abstractObjEval(_, keys))
+        vs += (if (bs.exists(_.contains(true))) Some(true)
+               else if (bs.forall(_.contains(false))) Some(false)
+               else None)
+      }
+      if (o.oneOf.nonEmpty) {
+        val bs = o.oneOf.map(abstractObjEval(_, keys))
+        val t = bs.count(_.contains(true)); val u = bs.count(_.isEmpty)
+        vs += (if (t >= 2) Some(false)
+               else if (t == 1 && u == 0) Some(true)
+               else if (t == 0 && u == 0) Some(false)
+               else None)
+      }
+      o.not.foreach(n => vs += abstractObjEval(n, keys).map(!_))
+      o.ifSpec.foreach { c =>
+        val tb = o.thenSpec.getOrElse(Spec.Accept)
+        val eb = o.elseSpec.getOrElse(Spec.Accept)
+        vs += (abstractObjEval(c, keys) match {
+          case Some(true) => abstractObjEval(tb, keys)
+          case Some(false) => abstractObjEval(eb, keys)
+          case None =>
+            val a = abstractObjEval(tb, keys); val b = abstractObjEval(eb, keys)
+            if (a == b) a else None
+        })
+      }
+      // string/number/array/content keywords: vacuous for an object — no-op
+      val verdicts = vs.result()
+      if (verdicts.exists(_.contains(false))) Some(false)
+      else if (verdicts.forall(_.contains(true))) Some(true)
+      else None
   }
 
   /** {X, not: Y} where Y provably accepts everything X's scalar part

@@ -156,6 +156,23 @@ class CanonicalSpec extends AnyFunSuite {
     assert(ok.defs("x").asInstanceOf[Spec.Obj].allOf.isEmpty)
   }
 
+  test("pinned key set dominated by not-branch is unsatisfiable") {
+    // required+maxProperties pin keys to {a}; every such object has all
+    // property names in the not-branch's enum -> not always fails
+    assert(canon("""{"type":"object","properties":{"a":{"type":"string"}},
+      "required":["a"],"minProperties":1,"maxProperties":1,
+      "not":{"type":"object","propertyNames":{"enum":["a","b"]}}}""") == Spec.Reject)
+    // a second admissible key breaks the pin -> satisfiable ({"c":...})
+    assert(canon("""{"type":"object","required":["a"],"maxProperties":2,
+      "not":{"propertyNames":{"enum":["a","b"]}}}""") != Spec.Reject)
+    // value-dependent not-branch -> undecidable, stays satisfiable
+    assert(canon("""{"type":"object","required":["a"],"maxProperties":1,
+      "not":{"properties":{"a":{"type":"number"}}}}""") != Spec.Reject)
+    // required can't fit under maxProperties at all
+    assert(canon("""{"type":"object","required":["a","b"],"maxProperties":1}""")
+      == Spec.Reject)
+  }
+
   test("allOf with combinator members stays as allOf") {
     val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
       .asInstanceOf[Spec.Obj]

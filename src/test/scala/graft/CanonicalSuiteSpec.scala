@@ -63,6 +63,7 @@ class CanonicalSuiteSpec extends AnyFunSuite {
 
   var refRejects = 0
   var oursRejects = 0
+  val unsatMissed = scala.collection.mutable.Buffer[String]()
 
   files.foreach { f =>
     lazy val groups = load(f)
@@ -81,6 +82,7 @@ class CanonicalSuiteSpec extends AnyFunSuite {
             if (expected.contains(JBool(false))) { // marked UNSATISFIABLE
               refRejects += 1
               if (canon == Spec.Reject) oursRejects += 1
+              else unsatMissed += s"$f: $desc -> ${JsonValue.render(Spec.toJson(canon)).take(200)}"
             }
             tests.foreach { case (data, want) =>
               val got = try Some(Interp.isValid(spec, data)) catch { case _: SpecError => None }
@@ -106,6 +108,7 @@ class CanonicalSuiteSpec extends AnyFunSuite {
 
   test(s"report: lite-canonicalizer unsatisfiability coverage") {
     info(s"reference expected:false cases our lite canonicalizer also rejects: $oursRejects/$refRejects")
+    unsatMissed.foreach(m => info(s"not reduced: $m"))
     assert(refRejects >= 0) // informational
   }
 }
