@@ -58,6 +58,34 @@ object Bench {
       .count()
   }
 
+  /** The reference's headline "Recursive" benchmark mirrored at table
+    * scale: every row carries a ~4.7 KB nested-dictionary JSON document
+    * (vendored `crates/benchmark/data/recursive_instance.json`, made
+    * row-unique) validated against the recursive `#/definitions` schema
+    * via the prepared-interpreter kernel — the path a user takes for
+    * dynamic JSON columns. */
+  def recursiveFixture(spark: SparkSession, n: Long, partitions: Int): String = {
+    val path = s"/tmp/graft_bench/recursive_n$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val instance = new String(
+        getClass.getResourceAsStream("/bench/recursive_instance.json").readAllBytes(), "UTF-8")
+      spark.range(0, n, 1, partitions)
+        .select(regexp_replace(lit(instance), lit("term1"),
+          concat(lit("term"), col("id"))).as("doc"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  def validateRecursive(spark: SparkSession, path: String): Long = {
+    val schema = new String(
+      getClass.getResourceAsStream("/bench/recursive_schema.json").readAllBytes(), "UTF-8")
+    val prepared = graft.spec.Interp.prepare(graft.spec.Spec.parseJson(schema))
+    spark.read.parquet(path)
+      .where(graft.functions.exprs.content_schema_valid(col("doc"), prepared))
+      .count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,6 +126,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     status("clips_audio_quality") = "ok"
+    // reference headline "Recursive": 40k nested docs, prepared interpreter
+    val recPath = recursiveFixture(spark, 40000, cpus.toInt * 2)
+    validateRecursive(spark, recPath) // warmup
+    results("recursive_dynref_40k") = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val ok = validateRecursive(spark, recPath)
+      require(ok == 40000L, s"recursive validation regressed: $ok/40000 valid")
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    status("recursive_dynref_40k") = "ok"
     // min over reps: steal-robust estimator on the shared microVM
     // (BENCH_SCALING.md); a crashing query must NOT report as a fast
     // time — its status is recorded and the full rep time counts

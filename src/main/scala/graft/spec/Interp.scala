@@ -63,6 +63,25 @@ object Interp {
 
   private def codePoints(s: String): Int = s.codePointCount(0, s.length)
 
+  /** Compiled-regex cache: `Pattern.compile` costs tens of µs and the
+    * interpreter runs per ROW inside the contentSchema kernel — compiling
+    * `pattern`/`patternProperties` regexes per evaluation dominated the
+    * recursive-schema benchmark (~657 µs/doc before, most of it here).
+    * Keys come from schema text, so the population is bounded by the
+    * schemas in use; a size cap guards pathological schema churn.
+    * ConcurrentHashMap: lock-free reads across executor threads. */
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def compiled(p: String): java.util.regex.Pattern = {
+    val hit = patternCache.get(p)
+    if (hit != null) hit
+    else {
+      val c = java.util.regex.Pattern.compile(EcmaRegex.translate(p))
+      if (patternCache.size < 10000) patternCache.putIfAbsent(p, c)
+      c
+    }
+  }
+
   private def valid(spec: Spec, v: JsonValue, ctx: RootCtx, stack: List[(Spec, JsonValue)]): Boolean =
     spec match {
       case Spec.Accept => true
@@ -73,7 +92,12 @@ object Interp {
         if (stack.exists { case (sp, in) => (sp eq spec) && (in eq v) }) return true
         val st = (spec, v) :: stack
         val c2 = entered(spec, ctx)
-        def ok(sub: Spec, value: JsonValue): Boolean = valid(sub, value, c2, st)
+        // cycle detection only needs SAME-INSTANCE recursion steps (a
+        // cycle can't span a descent into a finite instance tree), so the
+        // stack resets on descent — keeps the per-node scan O(ref-chain),
+        // not O(nesting depth x branch trials)
+        def ok(sub: Spec, value: JsonValue): Boolean =
+          valid(sub, value, c2, if (value eq v) st else Nil)
 
         s.ref.forall { r =>
           val (rs, rctx) = resolveRef(r, c2)
@@ -101,8 +125,7 @@ object Interp {
         strCheck(v) { str =>
           s.minLength.forall(codePoints(str) >= _) &&
           s.maxLength.forall(codePoints(str) <= _) &&
-          s.pattern.forall(p =>
-            java.util.regex.Pattern.compile(EcmaRegex.translate(p)).matcher(str).find())
+          s.pattern.forall(p => compiled(p).matcher(str).find())
         } &&
         objCheck(v) { o =>
           s.required.forall(r => o.toMap.contains(r)) &&
@@ -110,12 +133,12 @@ object Interp {
           s.maxProperties.forall(o.fields.length <= _) &&
           s.properties.forall { case (name, sub) => o.get(name).forall(ok(sub, _)) } &&
           s.patternProperties.forall { case (pat, sub) =>
-            val re = java.util.regex.Pattern.compile(EcmaRegex.translate(pat))
+            val re = compiled(pat)
             o.fields.forall { case (k, value) => !re.matcher(k).find() || ok(sub, value) }
           } &&
           s.additionalProperties.forall { ap =>
-            val propNames = s.properties.map(_._1).toSet
-            val pats = s.patternProperties.map(p => java.util.regex.Pattern.compile(EcmaRegex.translate(p._1)))
+            val propNames = s.propertyNameSet
+            val pats = s.patternProperties.map(p => compiled(p._1))
             o.fields.forall { case (k, value) =>
               propNames.contains(k) || pats.exists(_.matcher(k).find()) || ok(ap, value)
             }
@@ -157,7 +180,13 @@ object Interp {
         } &&
         s.allOf.forall(ok(_, v)) &&
         (s.anyOf.isEmpty || s.anyOf.exists(ok(_, v))) &&
-        (s.oneOf.isEmpty || s.oneOf.count(ok(_, v)) == 1) &&
+        (s.oneOf.isEmpty || {
+          // short-circuit: stop at the second match
+          var n = 0
+          val it = s.oneOf.iterator
+          while (n < 2 && it.hasNext) if (ok(it.next(), v)) n += 1
+          n == 1
+        }) &&
         s.not.forall(!ok(_, v)) &&
         (s.ifSpec match {
           case None => true
@@ -181,7 +210,7 @@ object Interp {
       out ++= keys
     out ++= s.properties.map(_._1).filter(keys.contains)
     s.patternProperties.foreach { case (p, _) =>
-      val re = java.util.regex.Pattern.compile(EcmaRegex.translate(p))
+      val re = compiled(p)
       out ++= keys.filter(k => re.matcher(k).find())
     }
     def branchIn(b: Spec, bctx: RootCtx): Unit = b match {

@@ -25,7 +25,7 @@ case object JNull extends JsonValue
 final case class JBool(value: Boolean) extends JsonValue
 /** All numbers as BigDecimal: exact cross-representation comparison. */
 final case class JNum(value: BigDecimal) extends JsonValue {
-  def isIntegral: Boolean =
+  @transient lazy val isIntegral: Boolean =
     value.scale <= 0 || value.remainder(BigDecimal(1)).compareTo(BigDecimal(0)) == 0
 }
 final case class JStr(value: String) extends JsonValue

@@ -37,6 +37,14 @@ final class Registry private (
     * `base`. Returns the target spec and the resource it lives in (the new
     * base for nested refs). */
   def resolve(ref: String, base: Registry.Resource): Option[(Spec, Registry.Resource)] = {
+    val hit = base.refCache.get(ref)
+    if (hit != null) return hit
+    val res = resolveUncached(ref, base)
+    base.refCache.putIfAbsent(ref, res)
+    res
+  }
+
+  private def resolveUncached(ref: String, base: Registry.Resource): Option[(Spec, Registry.Resource)] = {
     val (uriPart, frag) = Registry.splitFragment(ref)
     val targetRes: Option[Registry.Resource] =
       if (uriPart.isEmpty) Some(base)
@@ -94,7 +102,14 @@ object Registry {
       spec: Spec,
       anchors: Map[String, Spec],
       dynamicAnchors: Map[String, Spec],
-  )
+  ) {
+    /** Per-resource `$ref` resolution memo — the interpreter resolves refs
+      * per NODE VISIT per row, and pointer navigation (string split + tree
+      * walk) showed up as ~15% of the recursive benchmark. Transient:
+      * rebuilt lazily after deserialization; CHM reads are lock-free. */
+    @transient lazy val refCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[(Spec, Resource)]]()
+  }
 
   def hasRecursiveAnchor(s: Spec): Boolean = s match {
     case o: Spec.Obj => o.recursiveAnchor

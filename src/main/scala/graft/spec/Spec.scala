@@ -77,6 +77,9 @@ object Spec {
         * annotation-only unless a CustomKeyword is registered. */
       others: Vector[(String, JsonValue)] = Vector.empty,
   ) extends Spec {
+    /** Memo for the interpreter's additionalProperties hot path (rebuilt
+      * per node visit otherwise). Not part of structural equality. */
+    @transient lazy val propertyNameSet: Set[String] = properties.map(_._1).toSet
     def isUnconstrained: Boolean = this == Spec.empty
   }
 
