@@ -21,7 +21,20 @@ object Interp {
     * the whole document). */
   final case class Prepared(root: Spec, registry: Registry, entry: Spec)
       extends Serializable {
-    def isValid(v: JsonValue): Boolean = {
+    /** Closure-compiled fast path (Compiled.scala); None ⇒ the schema uses
+      * dynamic-scope refs or annotation-flow keywords and verdicts come
+      * from the tree-walk. Transient: recompiled lazily per executor. */
+    @transient private lazy val fast: Option[JsonValue => Boolean] =
+      Compiled.compile(registry, entry)
+
+    def isValid(v: JsonValue): Boolean = fast match {
+      case Some(f) => f(v)
+      case None    => isValidInterp(v)
+    }
+
+    /** Tree-walk verdict — the executable specification; the compiled path
+      * is differentially tested against it (CompiledSpec). */
+    def isValidInterp(v: JsonValue): Boolean = {
       val res = entry match {
         case o: Spec.Obj => registry.resourceOf(o)
         case _           => registry.rootResource
