@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batch-shaped decode / feature-extract
   * / resize / frame-sample stages.
   *
-  * The container has no media codecs, so the DECODE KERNEL IS A STUB
-  * (`???`-equivalent: a deterministic fake header parse, clearly marked
-  * below) — the Spark-side plumbing is real: schema, partition-preserving
+  * AUDIO (graft.audio.Pcm) and IMAGE (javax.imageio, pure JDK) decode are
+  * REAL; only the VIDEO kernel is a stub (no container codec — a
+  * deterministic fake header parse, clearly marked below). The Spark-side
+  * plumbing is identical for all three: schema, partition-preserving
   * `mapPartitions` with an explicit batch shape (the Scala analog of
   * `mapInPandas`: rows are staged into fixed-size batches, the kernel is
   * called once per batch, results flat-map back out), and frame sampling
@@ -26,11 +27,12 @@ object Multimodal {
                                    height: Int, n_frames: Int,
                                    mean_luma: Double, feature: Array[Float])
 
-  /** ======== STUB ========
+  /** ======== STUB (video only) ========
     * Deterministic fake decode: interprets the first 12 bytes as
     * (w:int32, h:int32, frames:int32) little-endian and derives "pixels"
     * from a hash of the payload. A real deployment swaps in an actual
-    * codec here — signature and batch shape stay identical. */
+    * video codec here — signature and batch shape stay identical (the
+    * real audio/image kernels below prove the shape). */
   def decodeBatchStub(batch: Seq[MediaRow]): Seq[DecodedFeatures] =
     batch.map { r =>
       val bb = java.nio.ByteBuffer.wrap(r.media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -120,6 +122,121 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(batch => decodeAudioBatch(batch.toSeq))
+    }
+  }
+
+  // ======== REAL MODALITY: image (javax.imageio — pure JDK) ========
+  // PNG/JPEG/BMP/GIF decode ships in the JDK, so the image path is REAL:
+  // decode, feature-extract (4x4 grid mean-luma) and resize (Graphics2D +
+  // PNG re-encode) all run in the same batch shape as the other kernels.
+  // Only the VIDEO kernel remains a stub (no container codec).
+
+  final case class ImageRow(media_id: Long, media: Array[Byte])
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 mean_luma: Double, feature: Array[Float])
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** Real batched image decode + features: dimensions, global mean luma
+    * (Rec.601), and a 16-dim 4x4 grid-mean-luma feature vector (the
+    * classic thumbnail embedding; deterministic). Undecodable payloads are
+    * dropped — validation reports them upstream. */
+  def decodeImageBatch(batch: Seq[ImageRow]): Seq[ImageFeatures] =
+    batch.flatMap { r =>
+      readImage(r.media).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val grid = new Array[Double](16)
+        val cnt = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(3, y * 4 / math.max(1, h))
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            val g = gy * 4 + math.min(3, x * 4 / math.max(1, w))
+            grid(g) += luma; cnt(g) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feat = Array.tabulate(16)(i =>
+          if (cnt(i) == 0) 0f else (grid(i) / cnt(i) / 255.0).toFloat)
+        val mean = grid.sum / math.max(1L, cnt.sum)
+        ImageFeatures(r.media_id, w, h, mean, feat)
+      }
+    }
+
+  def imageFeatures(ds: Dataset[ImageRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(b => decodeImageBatch(b.toSeq)))
+  }
+
+  final case class ResizedImage(media_id: Long, out_w: Int, out_h: Int, media: Array[Byte])
+
+  /** Real batched resize: longest side capped at `maxSide` (aspect kept),
+    * bilinear, re-encoded as PNG. No-ops (already small) pass through
+    * unchanged — re-encoding anyway would burn CPU for nothing at scale. */
+  def resizeImageBatch(batch: Seq[ImageRow], maxSide: Int): Seq[ResizedImage] =
+    batch.flatMap { r =>
+      readImage(r.media).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        if (math.max(w, h) <= maxSide) ResizedImage(r.media_id, w, h, r.media)
+        else {
+          val s = maxSide.toDouble / math.max(w, h)
+          val ow = math.max(1, math.floor(w * s).toInt)
+          val oh = math.max(1, math.floor(h * s).toInt)
+          val out = new java.awt.image.BufferedImage(ow, oh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(im, 0, 0, ow, oh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedImage(r.media_id, ow, oh, bos.toByteArray)
+        }
+      }
+    }
+
+  def resizeImages(ds: Dataset[ImageRow], maxSide: Int,
+                   batchSize: Int = 64): Dataset[ResizedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(b => resizeImageBatch(b.toSeq, maxSide)))
+  }
+
+  /** Deterministic synthetic PNG table (seeded gradient tiles) — real
+    * encoded images for the image-kernel tests/bench; no external data. */
+  def generateImages(spark: SparkSession, n: Long, partitions: Int,
+                     seed: Long = 42L): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).map { i =>
+      val h = (seed ^ i) * 0x9E3779B97F4A7C15L
+      val w = 24 + ((h >>> 8) % 40).toInt
+      val ht = 24 + ((h >>> 16) % 40).toInt
+      val base = ((h >>> 24) & 0xff).toInt
+      val im = new java.awt.image.BufferedImage(w, ht,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          val v = (base + x * 255 / w) & 0xff
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(im, "png", bos)
+      ImageRow(i, bos.toByteArray)
     }
   }
 

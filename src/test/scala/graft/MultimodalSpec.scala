@@ -62,6 +62,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(viaSpark.dur_ms - meta.dur_ms) < 1.0)
   }
 
+  test("image kernel: real PNG decode, grid-luma features, no shuffle") {
+    import java.awt.image.BufferedImage
+    def png(im: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos); bos.toByteArray
+    }
+    // constant gray 128 → mean luma exactly 128
+    val gray = new BufferedImage(32, 20, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 32) gray.setRGB(x, y, 0x808080)
+    // left half black, right half white → grid columns 0,1 ≈ 0; 2,3 ≈ 1
+    val split = new BufferedImage(40, 40, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 40) split.setRGB(x, y, if (x < 20) 0 else 0xffffff)
+    val rows = Seq(
+      Multimodal.ImageRow(1L, png(gray)),
+      Multimodal.ImageRow(2L, png(split)),
+      Multimodal.ImageRow(3L, Array[Byte](1, 2, 3, 4))) // undecodable → dropped
+    val ds = spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[Multimodal.ImageRow])
+    val feats = Multimodal.imageFeatures(ds, batchSize = 2)
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = feats.collect().map(f => f.media_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L).width == 32 && got(1L).height == 20)
+    assert(math.abs(got(1L).mean_luma - 128.0) < 0.5)
+    val f2 = got(2L).feature
+    assert(f2.length == 16)
+    for (r <- 0 until 4) {
+      assert(f2(r * 4) < 0.05 && f2(r * 4 + 1) < 0.05, f2.mkString(","))
+      assert(f2(r * 4 + 2) > 0.9 && f2(r * 4 + 3) > 0.9, f2.mkString(","))
+    }
+  }
+
+  test("image resize: real bilinear downscale + PNG re-encode, small passthrough") {
+    val src = Multimodal.generateImages(spark, 20, partitions = 2)
+    val out = Multimodal.resizeImages(src, maxSide = 32, batchSize = 8).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(math.max(r.out_w, r.out_h) <= 32)
+      // the payload re-decodes to exactly the declared dimensions
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      assert(im.getWidth == r.out_w && im.getHeight == r.out_h)
+    }
+    // a small image passes through byte-identical (no wasteful re-encode)
+    val row = Multimodal.generateImages(spark, 1, 1).collect().head
+    val small = Multimodal.resizeImageBatch(Seq(row), maxSide = 1000).head
+    assert(small.media sameElements row.media)
+  }
+
   test("resize metadata clamps the long side") {
     val media = Multimodal.generate(spark, 50, partitions = 2).toDF()
     val resized = Multimodal.resizeMeta(media, maxSide = 32)
