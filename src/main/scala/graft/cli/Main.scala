@@ -14,6 +14,7 @@ import graft.spec._
   *   graft.cli.Main <table.parquet> <spec.json> [outDir] [keyCol]   (validate, default)
   *   graft.cli.Main validate <table.parquet> <spec.json> [outDir] [keyCol]
   *   graft.cli.Main evaluate <table.parquet> <spec.json> <flag|list|hierarchical> [n]
+  *   graft.cli.Main check <spec.json> <instance.json> [instance2.json ...]
   *   graft.cli.Main canonicalize <spec.json>
   *   graft.cli.Main dereference  <spec.json>
   *   graft.cli.Main bundle       <spec.json> <uri=doc.json> [uri=doc.json ...]
@@ -40,7 +41,7 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val specVerbs = Set("canonicalize", "dereference", "bundle", "meta")
+    val specVerbs = Set("canonicalize", "dereference", "bundle", "meta", "check")
     val tableVerbs = Set("validate", "evaluate")
     try {
       args.headOption match {
@@ -67,6 +68,30 @@ object Main {
         val ok = Meta.isValid(doc)
         println(if (ok) "valid" else "invalid")
         sys.exit(if (ok) 0 else 1)
+      case "check" =>
+        // the analog of `jsonschema-cli validate <schema> -i <instance>...`
+        // (reference main.rs:176-213, output main.rs:645-657); single JSON
+        // documents take the prepared compiled validator, not Spark
+        if (args.length < 2) { System.err.println("usage: check <spec.json> <instance.json>..."); sys.exit(2) }
+        val prepared = Interp.prepare(Spec.parse(doc))
+        var anyInvalid = false
+        args.drop(1).foreach { f =>
+          val inst =
+            try Some(JsonValue.parse(readFile(f)))
+            catch { case e: Exception => println(s"$f - INVALID. Errors:\n1. malformed JSON: ${e.getMessage}"); anyInvalid = true; None }
+          inst.foreach { iv =>
+            if (prepared.isValid(iv)) println(s"$f - VALID")
+            else {
+              anyInvalid = true
+              println(s"$f - INVALID. Errors:")
+              Interp.errors(prepared, iv, limit = 20).zipWithIndex.foreach { case (e, i) =>
+                val at = if (e.instancePath.isEmpty) "" else s" (at ${e.instancePath})"
+                println(s"${i + 1}. ${e.message}$at [${e.schemaPath}]")
+              }
+            }
+          }
+        }
+        sys.exit(if (anyInvalid) 1 else 0)
       case "canonicalize" =>
         println(JsonValue.render(Spec.toJson(Canonical.canonicalize(Spec.parse(doc)))))
       case "dereference" =>

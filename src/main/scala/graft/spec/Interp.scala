@@ -297,6 +297,179 @@ object Interp {
     (all, prefix, contains)
   }
 
+  // ---- error enumeration (iter_errors analog for single documents) -----
+
+  /** One keyword-level failure: where in the instance, where in the
+    * schema, what went wrong — the single-document analog of the engine's
+    * violation rows (`ValidationError` in the reference,
+    * `crates/jsonschema/src/error.rs`). */
+  final case class VError(instancePath: String, schemaPath: String, message: String)
+
+  /** Collect keyword-level errors for an invalid instance (display-grade:
+    * combinator failures are summarized at the combinator keyword, with
+    * recursion into allOf members and the active if-branch; the VERDICT
+    * authority remains `isValid`). Returns empty iff the instance is
+    * valid. Capped at `limit` errors. */
+  def errors(p: Prepared, v: JsonValue, limit: Int = 100): Vector[VError] = {
+    val out = Vector.newBuilder[VError]
+    var n = 0
+    val res = p.entry match {
+      case o: Spec.Obj => p.registry.resourceOf(o)
+      case _           => p.registry.rootResource
+    }
+    def emit(ip: String, sp: String, msg: String): Unit =
+      if (n < limit) { out += VError(ip, sp, msg); n += 1 }
+
+    def walk(spec: Spec, value: JsonValue, ip: String, sp: String,
+             ctx: RootCtx, stack: List[(Spec, JsonValue)]): Unit = spec match {
+      case Spec.Accept => ()
+      case Spec.Reject => emit(ip, sp, "schema is false: nothing is valid")
+      case s: Spec.Obj =>
+        if (n >= limit) return
+        if (stack.exists { case (x, in) => (x eq spec) && (in eq value) }) return
+        val st = (spec, value) :: stack
+        val c2 = entered(spec, ctx)
+        def sub(kw: String) = s"$sp/$kw"
+        def okV(x: Spec, value2: JsonValue) =
+          valid(x, value2, c2, if (value2 eq value) st else Nil)
+
+        s.ref.foreach { r =>
+          val (rs, rctx) = resolveRef(r, c2)
+          if (!valid(rs, value, rctx, st)) walk(rs, value, ip, sub("$ref"), rctx, st)
+        }
+        s.types.foreach { ts =>
+          if (!typeMatches(ts, value))
+            emit(ip, sub("type"), s"${value.jsonType.name} is not of type ${ts.map(_.name).mkString("/")}")
+        }
+        s.const.foreach(c => if (!JsonValue.equal(c, value))
+          emit(ip, sub("const"), s"${JsonValue.render(value).take(60)} does not equal the const"))
+        s.enumVals.foreach(es => if (!es.exists(JsonValue.equal(_, value)))
+          emit(ip, sub("enum"), s"${JsonValue.render(value).take(60)} is not one of the enum values"))
+        value match {
+          case JNum(num) =>
+            s.minimum.foreach(m => if (num < m) emit(ip, sub("minimum"), s"$num is less than the minimum of $m"))
+            s.maximum.foreach(m => if (num > m) emit(ip, sub("maximum"), s"$num is greater than the maximum of $m"))
+            s.exclusiveMinimum.foreach(m => if (num <= m) emit(ip, sub("exclusiveMinimum"), s"$num is not greater than $m"))
+            s.exclusiveMaximum.foreach(m => if (num >= m) emit(ip, sub("exclusiveMaximum"), s"$num is not less than $m"))
+            s.multipleOf.foreach(m => if ((num remainder m).signum != 0)
+              emit(ip, sub("multipleOf"), s"$num is not a multiple of $m"))
+          case JStr(str) =>
+            val cp = codePoints(str)
+            s.minLength.foreach(m => if (cp < m) emit(ip, sub("minLength"), s"string is shorter than $m code points"))
+            s.maxLength.foreach(m => if (cp > m) emit(ip, sub("maxLength"), s"string is longer than $m code points"))
+            s.pattern.foreach(pt => if (!compiled(pt).matcher(str).find())
+              emit(ip, sub("pattern"), s"string does not match pattern $pt"))
+          case o: JObj =>
+            s.required.foreach(r => if (!o.toMap.contains(r))
+              emit(ip, sub("required"), s"required property '$r' is missing"))
+            s.minProperties.foreach(m => if (o.fields.length < m)
+              emit(ip, sub("minProperties"), s"object has fewer than $m properties"))
+            s.maxProperties.foreach(m => if (o.fields.length > m)
+              emit(ip, sub("maxProperties"), s"object has more than $m properties"))
+            s.properties.foreach { case (k, psub) =>
+              o.get(k).foreach { pv =>
+                if (!okV(psub, pv)) walk(psub, pv, s"$ip/$k", s"${sub("properties")}/$k", c2, Nil)
+              }
+            }
+            s.patternProperties.foreach { case (pat, psub) =>
+              val re = compiled(pat)
+              o.fields.foreach { case (k, pv) =>
+                if (re.matcher(k).find() && !okV(psub, pv))
+                  walk(psub, pv, s"$ip/$k", s"${sub("patternProperties")}/$pat", c2, Nil)
+              }
+            }
+            s.additionalProperties.foreach { ap =>
+              val names = s.propertyNameSet
+              val pats = s.patternProperties.map(pp => compiled(pp._1))
+              o.fields.foreach { case (k, pv) =>
+                if (!names.contains(k) && !pats.exists(_.matcher(k).find()) && !okV(ap, pv)) {
+                  if (ap == Spec.Reject)
+                    emit(s"$ip/$k", sub("additionalProperties"), s"additional property '$k' is not allowed")
+                  else walk(ap, pv, s"$ip/$k", sub("additionalProperties"), c2, Nil)
+                }
+              }
+            }
+            s.propertyNames.foreach { pn =>
+              o.fields.foreach { case (k, _) =>
+                if (!okV(pn, JStr(k)))
+                  emit(ip, sub("propertyNames"), s"property name '$k' is invalid")
+              }
+            }
+            s.dependentRequired.foreach { case (k, deps) =>
+              if (o.toMap.contains(k)) deps.foreach(d => if (!o.toMap.contains(d))
+                emit(ip, sub("dependentRequired"), s"'$d' is required when '$k' is present"))
+            }
+            s.dependentSchemas.foreach { case (k, dsub) =>
+              if (o.toMap.contains(k) && !okV(dsub, value))
+                walk(dsub, value, ip, s"${sub("dependentSchemas")}/$k", c2, st)
+            }
+            s.unevaluatedProperties.foreach { u =>
+              val ev = evaluatedProps(s, o, c2, st, includeSelfUneval = false)
+              o.fields.foreach { case (k, pv) =>
+                if (!ev.contains(k) && !okV(u, pv))
+                  emit(s"$ip/$k", sub("unevaluatedProperties"), s"unevaluated property '$k' is not allowed")
+              }
+            }
+          case JArr(a) =>
+            s.minItems.foreach(m => if (a.length < m) emit(ip, sub("minItems"), s"array has fewer than $m items"))
+            s.maxItems.foreach(m => if (a.length > m) emit(ip, sub("maxItems"), s"array has more than $m items"))
+            if (s.uniqueItems && !allUnique(a)) emit(ip, sub("uniqueItems"), "array items are not unique")
+            s.prefixItems.zipWithIndex.foreach { case (psub, i) =>
+              if (i < a.length && !okV(psub, a(i)))
+                walk(psub, a(i), s"$ip/$i", s"${sub("prefixItems")}/$i", c2, Nil)
+            }
+            s.items.foreach { isub =>
+              a.zipWithIndex.drop(s.prefixItems.length).foreach { case (x, i) =>
+                if (!okV(isub, x)) walk(isub, x, s"$ip/$i", sub("items"), c2, Nil)
+              }
+            }
+            s.contains.foreach { csub =>
+              val cn = a.count(okV(csub, _))
+              val lo = s.minContains.getOrElse(1L)
+              if (cn < lo) emit(ip, sub("contains"), s"array contains $cn matching items, fewer than $lo")
+              s.maxContains.foreach(hi => if (cn > hi)
+                emit(ip, sub("maxContains"), s"array contains $cn matching items, more than $hi"))
+            }
+            s.unevaluatedItems.foreach { u =>
+              val (allCov, prefix, cont) = itemCov(s, value, c2, st, includeSelfUneval = false)
+              if (!allCov) a.zipWithIndex.foreach { case (x, i) =>
+                if (i >= prefix && !cont.exists(okV(_, x)) && !okV(u, x))
+                  emit(s"$ip/$i", sub("unevaluatedItems"), s"unevaluated item at index $i is not allowed")
+              }
+            }
+          case _ => ()
+        }
+        s.allOf.zipWithIndex.foreach { case (m, i) =>
+          if (!okV(m, value)) walk(m, value, ip, s"${sub("allOf")}/$i", c2, st)
+        }
+        if (s.anyOf.nonEmpty && !s.anyOf.exists(okV(_, value)))
+          emit(ip, sub("anyOf"), "value does not match any of the anyOf branches")
+        if (s.oneOf.nonEmpty) {
+          val cnt = s.oneOf.count(okV(_, value))
+          if (cnt == 0) emit(ip, sub("oneOf"), "value matches none of the oneOf branches")
+          else if (cnt > 1) emit(ip, sub("oneOf"), s"value matches $cnt oneOf branches, expected exactly 1")
+        }
+        s.not.foreach(nt => if (okV(nt, value))
+          emit(ip, sub("not"), "value must not match the 'not' subschema"))
+        s.ifSpec.foreach { i =>
+          if (okV(i, value)) s.thenSpec.foreach { t =>
+            if (!okV(t, value)) walk(t, value, ip, sub("then"), c2, st)
+          } else s.elseSpec.foreach { e =>
+            if (!okV(e, value)) walk(e, value, ip, sub("else"), c2, st)
+          }
+        }
+    }
+
+    if (p.isValid(v)) Vector.empty
+    else {
+      walk(p.entry, v, "", "#", RootCtx(p.registry, res, List(res)), Nil)
+      val r = out.result()
+      // an invalid instance must surface at least one error even when the
+      // failure lives behind a summarized construct
+      if (r.isEmpty) Vector(VError("", "#", "instance is invalid")) else r
+    }
+  }
+
   private def typeMatches(ts: Set[JsonType], v: JsonValue): Boolean = {
     val t = v.jsonType
     ts.contains(t) || (t == JsonType.Integer && ts.contains(JsonType.Number))
