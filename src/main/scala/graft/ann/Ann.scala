@@ -94,6 +94,85 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("_cos"), 4).as("cos"))
   }
 
+  // ---- IVF (inverted-file) index ---------------------------------------
+
+  /** Spherical k-means coarse quantizer trained with Lloyd iterations
+    * expressed as DataFrame aggregations — no driver-side data beyond the
+    * nLists×dim centroid matrix (a few KB). Deterministic: seeded init by
+    * hash-ordered sample, fixed iteration count.
+    *
+    * Per iteration: one pass assigning each vector to its max-dot centroid
+    * (compiled dot kernels; the scores array is codegen'd), one
+    * (list, dimension) shuffle to average members, then centroids are
+    * re-normalized on the driver (spherical k-means ⇒ dot ≡ cosine on
+    * normalized inputs). Empty lists keep their previous centroid. */
+  def ivfTrain(df: DataFrame, idCol: String, vecCol: String,
+               nLists: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    val src = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    def normalize(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var centroids: Array[Array[Double]] = src
+      .orderBy(xxhash64(col("id"), lit(seed)))
+      .limit(nLists)
+      .select(col("v")).collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    for (_ <- 1 to iters) {
+      val assigned = src.withColumn("list_id", nearestList(col("v"), centroids))
+      val sums = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(sum(col("x")).as("s"))
+        .collect()
+      val next = centroids.map(_.clone())
+      val touched = Array.fill(centroids.length)(false)
+      sums.foreach { r =>
+        val l = r.getInt(0); val p = r.getInt(1)
+        if (!touched(l)) { java.util.Arrays.fill(next(l), 0.0); touched(l) = true }
+        next(l)(p) = r.getDouble(2)
+      }
+      centroids = next.zipWithIndex.map { case (c, i) =>
+        if (touched(i)) normalize(c) else centroids(i)
+      }
+    }
+    centroids
+  }
+
+  /** argmax-dot list id for a vector column against the centroid matrix:
+    * an array of compiled dot kernels + codegen'd array_position. For very
+    * large nLists this becomes its own kernel; at the typical sqrt(N)
+    * coarse-list count the expression form stays in codegen. */
+  def nearestList(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = array(centroids.map(c => dot(vecCol, typedlit(c.toSeq))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
+  }
+
+  /** Assignment for writing: at 100TB the assigned table is PARTITIONED BY
+    * list_id, so an nProbe query scans only nProbe/nLists of the data —
+    * partition pruning, not just a scan filter. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("list_id", nearestList(col(vecCol), centroids))
+
+  /** IVF top-k: probe the `nProbe` lists whose centroids are nearest to
+    * the query (computed on the driver — nLists dots), exact compiled
+    * cosine inside the probed lists only, TakeOrdered for the top k. */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[Array[Double]], query: Array[Float],
+              k: Int, nProbe: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qd).map { case (x, y) => x * y }.sum) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = typedlit(query.toSeq)
+    assigned
+      .where(col("list_id").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol).as("id"), round(cosine(col(vecCol), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** ANN top-k with LSH pre-filter: score only vectors whose bucket is
     * within `probeHamming` bits of the query's bucket (multi-probe),
     * then exact cosine on the survivors. Falls back to brute force

@@ -62,6 +62,36 @@ class AnnSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("IVF: full probe equals brute force; partial probe keeps high recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = emb.select("embedding").head().getSeq[Float](0).length
+    val query = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val rest = emb.where(col("vec_id") =!= 0)
+    val truth = Ann.topKCosine(rest, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+
+    val nLists = 8
+    val centroids = Ann.ivfTrain(rest, "vec_id", "embedding", nLists, iters = 4)
+    assert(centroids.length == nLists && centroids.forall(_.length == d))
+    // every centroid is unit-norm (spherical k-means)
+    centroids.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    val assigned = Ann.ivfAssign(rest, "vec_id", "embedding", centroids)
+    // probing ALL lists is exhaustive search — must equal brute force
+    val full = Ann.ivfTopK(assigned, "vec_id", "embedding", centroids, query, 10, nLists)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == truth)
+    // probing half the lists keeps recall@10 >= 0.7 on this table
+    val half = Ann.ivfTopK(assigned, "vec_id", "embedding", centroids, query, 10, nLists / 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = truth.count(half.contains) / 10.0
+    assert(recall >= 0.7, s"recall@10 = $recall")
+    // the probe is a pushable filter on list_id (partition key at scale)
+    val plan = Ann.ivfTopK(assigned, "vec_id", "embedding", centroids, query, 10, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("cosineNearDupsExact matches brute-force ground truth; LSH recalls planted dups") {
     // 40 random-ish vectors + 5 planted near-duplicate pairs
     val rng = new scala.util.Random(7)
