@@ -64,18 +64,22 @@ object Components {
       relink.union(keep).distinct()
     }
 
-    var e = smallStar(e0) // orient: every node points to a smaller neighbor
+    // Fixed point ⇔ identical edge set: same size and same order-free
+    // checksum (sum of per-edge hashes). Carried across iterations so each
+    // round costs ONE materialization job + ONE aggregate job.
+    def checksum(d: DataFrame) =
+      d.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+    var e = smallStar(e0).localCheckpoint(true) // orient toward smaller ids
+    var cs = checksum(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // Fixed point ⇔ identical edge set: same size and same order-free
-      // checksum (sum of per-edge hashes — one cheap full-agg job).
-      val Array(cs0) = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()
-      val Array(cs1) = next.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()
-      converged = cs0 == cs1
+      val csN = checksum(next)
+      converged = cs == csN
       e.unpersist(false)
       e = next
+      cs = csN
       i += 1
     }
     val out = e0.select(col("u")).union(e0.select(col("v"))).distinct()
