@@ -102,6 +102,45 @@ class AuditStreamingSpec extends AnyFunSuite {
     assert(out.count() > 1) // multiple hourly windows
   }
 
+  test("windowed drift stream matches the batch PSI/KS math per window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // two hourly windows: the first mirrors the baseline (low PSI), the
+    // second is shifted hard to the top bucket (high PSI)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 11:00:00")
+    val w1 = (1 to 40).map(i => (t0, (i % 10).toDouble))          // uniform 0..9
+    val w2 = (1 to 40).map(_ => (t1, 9.5))                        // all in top bucket
+    val baseline = (0L until 10L).map(_ -> 4L).toMap              // uniform baseline
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("ts", "v")
+    val drift = StreamingValidation.windowedDrift(stream, "ts", "v",
+      lo = 0.0, hi = 10.0, buckets = 10, baseline = baseline,
+      windowDur = "1 hour", psiMax = 0.2)
+    val q = drift.writeStream.outputMode("complete")
+      .format("memory").queryName("drift").start()
+    try {
+      input.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      val out = spark.sql("select * from drift").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).sortBy(_._1.getTime)
+      assert(out.length == 2)
+      val (_, rows1, psi1, ks1, pass1) = out(0)
+      val (_, rows2, psi2, _, pass2) = out(1)
+      assert(rows1 == 40 && rows2 == 40)
+      // window 1 ≡ baseline distribution → PSI ~ 0, pass
+      assert(psi1 < 0.01 && pass1, s"psi1=$psi1")
+      assert(ks1 < 0.01)
+      // window 2: everything in one bucket → large PSI, fail
+      assert(psi2 > 1.0 && !pass2, s"psi2=$psi2")
+      // cross-check the batch math on window 2's histogram
+      val batchPsi = graft.table.TableChecks.psi(Map(9L -> 40L), baseline)
+      assert(math.abs(psi2 - batchPsi) < 1e-4, s"stream=$psi2 batch=$batchPsi")
+    } finally q.stop()
+  }
+
   test("stateful per-key verdicts accumulate across micro-batches (mapGroupsWithState)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
