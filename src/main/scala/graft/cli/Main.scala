@@ -65,9 +65,14 @@ object Main {
     val doc = JsonValue.parse(readFile(args(0)))
     verb match {
       case "meta" =>
-        val ok = Meta.isValid(doc)
-        println(if (ok) "valid" else "invalid")
-        sys.exit(if (ok) 0 else 1)
+        // authority = the official 2020-12 meta-schema (reference
+        // compiler parity); the stricter dialect form is advisory
+        val official = Meta.isValidOfficial(doc)
+        val dialect = Meta.isValid(doc)
+        println(if (official) "valid" else "invalid")
+        if (official != dialect)
+          System.err.println(s"note: dialect meta-schema says ${if (dialect) "valid" else "invalid"}")
+        sys.exit(if (official) 0 else 1)
       case "check" =>
         // the analog of `jsonschema-cli validate <schema> -i <instance>...`
         // (reference main.rs:176-213, output main.rs:645-657); single JSON

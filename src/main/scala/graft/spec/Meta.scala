@@ -131,4 +131,34 @@ object Meta {
   def check(schemaDoc: JsonValue): Unit =
     if (!isValid(schemaDoc))
       throw new SpecError("schema does not validate against the meta-schema")
+
+  // ---- the REAL draft 2020-12 meta-schema (vendored spec documents) ----
+
+  private def resource(name: String): JsonValue = {
+    val in = getClass.getResourceAsStream(s"/metaschema-2020-12/$name")
+    require(in != null, s"missing vendored meta-schema resource $name")
+    JsonValue.parse(new String(in.readAllBytes(), "UTF-8"))
+  }
+
+  private val vocabNames = Seq("core", "applicator", "unevaluated", "validation",
+    "meta-data", "format-annotation", "content")
+
+  /** The official 2020-12 meta-schema family bundled into one compound
+    * document: relative `$ref "meta/core"` against the root `$id`, one
+    * resource per vocabulary, `$dynamicRef "#meta"` recursion — validated
+    * by the tree-walk interpreter (dynamic scope). This is the exact
+    * authority the reference compiler checks against
+    * (`compiler.rs:945-966`); the dialect meta-schema above remains the
+    * stricter single-document advisory form. */
+  lazy val officialPrepared: Interp.Prepared = {
+    val root = Spec.parse(resource("schema.json"))
+    val external = vocabNames.map { n =>
+      s"https://json-schema.org/draft/2020-12/meta/$n" -> Spec.parse(resource(s"meta/$n.json"))
+    }.toMap
+    Interp.prepare(Bundler.bundle(root, external))
+  }
+
+  /** Verdict under the OFFICIAL 2020-12 meta-schema. */
+  def isValidOfficial(schemaDoc: JsonValue): Boolean =
+    officialPrepared.isValid(schemaDoc)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spec._
+
+/** The REAL draft 2020-12 meta-schema family (8 documents vendored from
+  * `crates/jsonschema/metaschemas/draft2020-12/` — public spec documents)
+  * bundled into one compound document and run by our engine: relative
+  * `$ref "meta/core"` resolution against the root `$id`, one resource per
+  * embedded `$id`, and `$dynamicRef "#meta"` bouncing to the OUTERMOST
+  * `$dynamicAnchor meta` in the dynamic scope — the full referencing
+  * stack in one test. */
+class MetaSchemaSpec extends AnyFunSuite {
+
+  private def res(name: String): JsonValue = {
+    val in = getClass.getResourceAsStream(s"/metaschema-2020-12/$name")
+    require(in != null, s"missing $name")
+    JsonValue.parse(new String(in.readAllBytes(), "UTF-8"))
+  }
+
+  private val metaNames = Seq("core", "applicator", "unevaluated", "validation",
+    "meta-data", "format-annotation", "content")
+
+  lazy val prepared: Interp.Prepared = Meta.officialPrepared
+
+  test("bundling pulls in all seven vocabulary meta-schemas") {
+    val b = prepared.root.asInstanceOf[Spec.Obj]
+    assert(Bundler.unresolvableUris(b).isEmpty)
+    assert(b.defs.count(_._1.startsWith("bundled")) == 7)
+  }
+
+  test("well-formed schemas validate against the real meta-schema") {
+    val good = Seq(
+      """true""",
+      """{}""",
+      """{"type": "object", "properties": {"a": {"type": "string"}}, "required": ["a"]}""",
+      """{"allOf": [{"minimum": 0}], "not": {"enum": [1, 2]}}""",
+      """{"$defs": {"n": {"$ref": "#/$defs/n"}}, "items": {"$dynamicRef": "#x"}}""",
+      """{"properties": {"p": {"patternProperties": {"^a": {"maxLength": 3}}}}}""")
+    good.foreach { s =>
+      assert(prepared.isValid(JsonValue.parse(s)), s)
+    }
+  }
+
+  test("malformed schemas are rejected by the real meta-schema") {
+    val bad = Seq(
+      """{"type": 123}""",                       // type must be string/array of strings
+      """{"type": "nonsense"}""",                // not one of the seven simple types
+      """{"required": "name"}""",                // required must be an array
+      """{"required": ["a", "a"]}""",            // uniqueItems on required
+      """{"properties": []}""",                  // properties must be an object
+      """{"minLength": -1}""",                   // nonNegativeInteger
+      """{"multipleOf": 0}""",                   // exclusiveMinimum 0
+      """{"enum": 5}""",                         // enum must be an array
+      """{"$defs": {"x": {"minimum": "zero"}}}""") // nested via $dynamicRef #meta
+    bad.foreach { s =>
+      assert(!prepared.isValid(JsonValue.parse(s)), s)
+    }
+  }
+
+  test("the meta-schema family validates ITSELF (every document)") {
+    assert(prepared.isValid(res("schema.json")))
+    metaNames.foreach { n =>
+      assert(prepared.isValid(res(s"meta/$n.json")), n)
+    }
+  }
+}
