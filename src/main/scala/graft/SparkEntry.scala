@@ -221,6 +221,19 @@ object SparkEntry {
       Ann.topKCosine(emb.where(col("vec_id") =!= 0), "embedding", "vec_id", q, 5)
     }),
 
+    // -- similarity search: IVF (inverted-file) top-k. Full probe is
+    //    provably exhaustive, so it shares the brute-force oracle; at scale
+    //    nProbe << nLists prunes list_id partitions ----------------------
+    "q_ann_ivf_top5" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val rest = emb.where(col("vec_id") =!= 0)
+      val cents = Ann.ivfTrain(rest, "vec_id", "embedding", nLists = 8, iters = 3)
+      Ann.ivfTopK(Ann.ivfAssign(rest, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cents, q, 5, nProbe = 8)
+    }),
+
     // -- similarity search: LSH-bucketed ANN top-k (no oracle — approximate,
     //    multi-probe sign-LSH pre-filter then exact cosine on survivors) ---
     "q_ann_lsh_top5" -> ((s, dir) => {
@@ -575,6 +588,15 @@ object SparkEntry {
         SELECT component, count(*) AS group_size FROM comp GROUP BY 1) g
         ON c.component = g.component
       ORDER BY c.id""",
+
+    "q_ann_ivf_top5" -> """
+      SELECT e2.vec_id AS id,
+             round(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))), 4) AS cos
+      FROM embeddings e1, embeddings e2
+      WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+      ORDER BY cos DESC, id LIMIT 5""",
 
     "q_ann_top5" -> """
       SELECT e2.vec_id AS id,
