@@ -195,6 +195,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -- dedup end-to-end: corpus minus non-canonical near-duplicates ----
+    "q_docs_dedup_corpus" -> ((s, dir) => {
+      graft.text.Components.dedupCorpus(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.12)
+        .select(col("doc_id").cast(LongType).as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // -- dedup: MinHash + LSH (banded; no oracle — probabilistic recall) --
     "q_docs_minhash_lsh" -> ((s, dir) => {
       TextOps.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
@@ -558,6 +566,34 @@ object SparkEntry {
       FROM pairs
       WHERE common / (sz_a + sz_b - common)::DOUBLE >= 0.12
       ORDER BY id_a, id_b""",
+
+    "q_docs_dedup_corpus" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS sh
+        FROM t WHERE len(w) >= 3),
+      inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+      p AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 count(*) AS common
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        WHERE common / (sz_a + sz_b - common)::DOUBLE >= 0.12),
+      edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+      comp AS (
+        SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+      ORDER BY d.doc_id""",
 
     "q_docs_dup_components" -> """
       WITH RECURSIVE t AS (

@@ -90,6 +90,20 @@ object Components {
     res
   }
 
+  /** The end-to-end dedup a training pipeline actually runs: drop every
+    * document that belongs to a near-duplicate group but is NOT its
+    * canonical (min-id) representative. One anti join against the
+    * (tiny relative to the corpus) non-canonical id set — broadcast at
+    * scale when the dup fraction is small. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, threshold: Double = 0.5,
+                  maxDocFreq: Int = 0): DataFrame = {
+    val losers = jaccardDupGroups(df, idCol, textCol, n, threshold, maxDocFreq)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end duplicate grouping: exact n-gram-Jaccard pairs above
     * `threshold` → connected components → (id, component, group_size),
     * group_size > 1 only (singletons are not duplicates). `keepOne`

@@ -125,6 +125,29 @@ class PropertySpec extends AnyFunSuite {
     2 -> genRefSpec,
   ).flatMap(identity)
 
+  test("compiled verdict == tree-walk verdict for 2000 generated (spec, instance) pairs") {
+    var seed = rng.Seed(20260817L)
+    var compiledChecked = 0
+    var fallbacks = 0
+    val failures = scala.collection.mutable.Buffer[String]()
+    for (_ <- 1 to 2000) {
+      val specJson = genSpec.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val value = genValue.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val p = Interp.prepare(Spec.parse(specJson))
+      Compiled.compile(p.registry, p.entry) match {
+        case None => fallbacks += 1 // unevaluated*/dynamic-scope generators
+        case Some(fastC) =>
+          compiledChecked += 1
+          val fv = fastC(value); val tw = p.isValidInterp(value)
+          if (fv != tw)
+            failures += s"spec=${JsonValue.render(specJson)} value=${JsonValue.render(value)}: compiled=$fv interp=$tw"
+      }
+    }
+    info(s"compiled: $compiledChecked, fallbacks: $fallbacks")
+    assert(failures.isEmpty, s"\n${failures.take(10).mkString("\n")}")
+    assert(compiledChecked > 1200)
+  }
+
   test("engine verdict == interpreter verdict for generated (spec, instance) pairs") {
     val seed0 = rng.Seed(20260816L)
     var seed = seed0
