@@ -58,6 +58,35 @@ object Bench {
       .count()
   }
 
+  /** The INTEGRATED training-data pipeline over the north-rule clips
+    * table, end to end in one composed plan: constraint validation →
+    * audio-quality gating (decoded-PCM stats) → transcript text-quality →
+    * exact transcript dedup keeping one clip per fingerprint → per-codec
+    * survivor stats. What a user of this engine actually ships. */
+  def clipsPipeline(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(path)
+    val plan = AudioChecks.fullPlan(df.schema)
+    val st = graft.audio.expressions.pcm_stats(col("bytes"), col("codec"))
+    val gated = df
+      .where(plan.isValidCol)
+      .withColumn("_st", st)
+      .where(col("_st").isNotNull &&
+        col("_st.rms_dbfs") > -60.0 && col("_st.clip_frac") < 0.01)
+      .where(graft.text.TextOps.tokenCount(col("transcript")) >= 2)
+      .withColumn("_fp", graft.text.TextOps.fingerprint(col("transcript")))
+    // keep the min clip_id per transcript fingerprint (deterministic)
+    val keep = gated
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_fp")).orderBy(col("clip_id"))))
+      .where(col("_rk") === 1)
+    keep.groupBy("codec").agg(
+      count(lit(1)).as("n"),
+      avg(col("_st.rms_dbfs")).as("avg_rms_dbfs"),
+      avg(col("dur_ms")).as("avg_dur_ms"))
+      .count()
+  }
+
   /** The reference's headline "Recursive" benchmark mirrored at table
     * scale: every row carries a ~4.7 KB nested-dictionary JSON document
     * (vendored `crates/benchmark/data/recursive_instance.json`, made
@@ -126,6 +155,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     status("clips_audio_quality") = "ok"
+    results("clips_pipeline") = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      clipsPipeline(spark, clipsPath)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    status("clips_pipeline") = "ok"
     // reference headline "Recursive": 40k nested docs, prepared interpreter
     val recPath = recursiveFixture(spark, 40000, cpus.toInt * 2)
     validateRecursive(spark, recPath) // warmup
