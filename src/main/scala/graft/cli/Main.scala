@@ -76,18 +76,36 @@ object Main {
       case "check" =>
         // the analog of `jsonschema-cli validate <schema> -i <instance>...`
         // (reference main.rs:176-213, output main.rs:645-657); single JSON
-        // documents take the prepared compiled validator, not Spark
-        if (args.length < 2) { System.err.println("usage: check <spec.json> <instance.json>..."); sys.exit(2) }
+        // documents take the prepared compiled validator, not Spark.
+        // `--output list` emits one Output-v1-style JSON record per file.
+        if (args.length < 2) { System.err.println("usage: check <spec.json> [--output list] <instance.json>..."); sys.exit(2) }
+        val listMode = args.contains("--output") &&
+          args.lift(args.indexOf("--output") + 1).contains("list")
+        val files = {
+          val a = args.drop(1)
+          if (listMode) { val i = a.indexOf("--output"); a.patch(i, Nil, 2) } else a
+        }
+        def record(f: String, ok: Boolean, errs: Vector[Interp.VError]): String = {
+          val errJson = JArr(errs.map(e => JObj(Vector(
+            "instanceLocation" -> JStr(e.instancePath),
+            "keywordLocation" -> JStr(e.schemaPath.stripPrefix("#")),
+            "error" -> JStr(e.message)))))
+          JsonValue.render(JObj(Vector(
+            "instance" -> JStr(f), "valid" -> JBool(ok),
+          ) ++ (if (ok) Vector() else Vector("errors" -> (errJson: JsonValue)))))
+        }
         val prepared = Interp.prepare(Spec.parse(doc))
         var anyInvalid = false
-        args.drop(1).foreach { f =>
+        files.foreach { f =>
           val inst =
             try Some(JsonValue.parse(readFile(f)))
             catch { case e: Exception => println(s"$f - INVALID. Errors:\n1. malformed JSON: ${e.getMessage}"); anyInvalid = true; None }
           inst.foreach { iv =>
-            if (prepared.isValid(iv)) println(s"$f - VALID")
+            val ok = prepared.isValid(iv)
+            if (!ok) anyInvalid = true
+            if (listMode) println(record(f, ok, if (ok) Vector() else Interp.errors(prepared, iv, 20)))
+            else if (ok) println(s"$f - VALID")
             else {
-              anyInvalid = true
               println(s"$f - INVALID. Errors:")
               Interp.errors(prepared, iv, limit = 20).zipWithIndex.foreach { case (e, i) =>
                 val at = if (e.instancePath.isEmpty) "" else s" (at ${e.instancePath})"

@@ -125,6 +125,23 @@ class PropertySpec extends AnyFunSuite {
     2 -> genRefSpec,
   ).flatMap(identity)
 
+  test("Spec -> JSON -> Spec round trip is verdict-preserving and render-idempotent") {
+    var seed = rng.Seed(20260818L)
+    for (_ <- 1 to 400) {
+      val specJson = genSpec.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val value = genValue.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val s1 = Spec.parse(specJson)
+      val j1 = Spec.toJson(s1)
+      val s2 = Spec.parse(j1)
+      // serializer idempotency: one round trip reaches a fixed point
+      assert(JsonValue.render(Spec.toJson(s2)) == JsonValue.render(j1),
+        JsonValue.render(specJson))
+      // and the round-tripped spec keeps the verdict
+      assert(Interp.isValid(s2, value) == Interp.isValid(s1, value),
+        s"${JsonValue.render(specJson)} / ${JsonValue.render(value)}")
+    }
+  }
+
   test("compiled verdict == tree-walk verdict for 2000 generated (spec, instance) pairs") {
     var seed = rng.Seed(20260817L)
     var compiledChecked = 0
