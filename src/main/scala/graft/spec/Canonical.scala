@@ -23,7 +23,106 @@ object Canonical {
     // subschemas, which would dangle JSON-pointer refs and change anchor /
     // dynamic-scope resolution — leave such documents untouched.
     if (usesAdvancedReferencing(s)) s
-    else canon(s, annotationsMatter = containsUnevaluated(s))
+    else canon(s, annotationsMatter = containsUnevaluated(s)) match {
+      case o: Spec.Obj if recursivelyEmpty(o) => Spec.Reject
+      case other => other
+    }
+
+  /** Recursive-schema emptiness (`canonical/mod.rs:63-71` analog): a
+    * least-fixpoint "some finite witness exists" computation over the
+    * reachable subschema graph, OPTIMISTIC about everything it does not
+    * analyze (not, const/enum, numeric interplay, contentSchema, ...) —
+    * so a node that never becomes satisfiable even under optimism has no
+    * finite witness at all. Catches what per-node checks cannot: schemas
+    * whose every instance would need infinite depth, e.g. a required
+    * property that must match its own schema with no escape branch.
+    * All `isSat` uses are positive ⇒ the iteration is monotone and the
+    * least fixpoint is well-defined. */
+  private def recursivelyEmpty(root: Spec.Obj): Boolean = {
+    val reg = try Registry.build(root) catch { case _: Throwable => return false }
+    def resolve(r: String): Option[Spec] =
+      try reg.resolve(r, reg.rootResource).map(_._1) catch { case _: Throwable => None }
+    val nodes = new java.util.IdentityHashMap[Spec.Obj, Unit]()
+    def collect(s: Spec): Unit = s match {
+      case o: Spec.Obj if !nodes.containsKey(o) =>
+        nodes.put(o, ())
+        (subschemas(o) ++ o.contentSchema).foreach(collect)
+        o.ref.flatMap(resolve).foreach(collect)
+      case _ => ()
+    }
+    collect(root)
+    val sat = new java.util.IdentityHashMap[Spec.Obj, java.lang.Boolean]()
+    def isSat(s: Spec): Boolean = s match {
+      case Spec.Accept => true
+      case Spec.Reject => false
+      case o: Spec.Obj => sat.containsKey(o)
+    }
+    // transitively required keys (dependentRequired chains from required)
+    def requiredClosure(o: Spec.Obj): Set[String] = {
+      var cur = o.required.toSet
+      var grown = true
+      while (grown) {
+        val next = cur ++ o.dependentRequired.collect {
+          case (k, deps) if cur(k) => deps
+        }.flatten
+        grown = next.size > cur.size
+        cur = next
+      }
+      cur
+    }
+    // every subschema a value at key `p` must satisfy
+    def propSchemasFor(o: Spec.Obj, p: String): Vector[Spec] = {
+      val fromProps = o.properties.filter(_._1 == p).map(_._2)
+      val fromPats = o.patternProperties.filter { case (pat, _) =>
+        try java.util.regex.Pattern.compile(EcmaRegex.translate(pat)).matcher(p).find()
+        catch { case _: Throwable => false } // optimistic: treat as non-matching
+      }.map(_._2)
+      val extra =
+        if (fromProps.isEmpty && fromPats.isEmpty) o.additionalProperties.toVector
+        else Vector.empty
+      fromProps ++ fromPats ++ extra
+    }
+    def nodeSat(o: Spec.Obj): Boolean = {
+      val refOk = o.ref.forall(r => resolve(r).forall(isSat))
+      val allOk = o.allOf.forall(isSat)
+      val anyOk = o.anyOf.isEmpty || o.anyOf.exists(isSat)
+      val oneOk = o.oneOf.isEmpty || o.oneOf.exists(isSat)
+      val iteOk = o.ifSpec.isEmpty ||
+        o.thenSpec.forall(isSat) || o.elseSpec.forall(isSat)
+      def objectOk = {
+        val req = requiredClosure(o)
+        !o.maxProperties.exists(_ < req.size) &&
+        req.forall(p => propSchemasFor(o, p).forall(isSat)) &&
+        o.dependentSchemas.forall { case (k, d) => !req(k) || isSat(d) }
+      }
+      def arrayOk = {
+        val minI = o.minItems.getOrElse(0L)
+        val elemOk =
+          minI == 0L || {
+            if (o.prefixItems.nonEmpty) isSat(o.prefixItems.head)
+            else o.items.forall(isSat)
+          }
+        val containsOk = o.contains.forall(c =>
+          o.minContains.getOrElse(1L) == 0L || isSat(c))
+        elemOk && containsOk
+      }
+      def typeOk(t: JsonType): Boolean = t match {
+        case JsonType.Object => objectOk
+        case JsonType.Array  => arrayOk
+        case _               => true
+      }
+      val types = o.types.getOrElse(JsonType.all.toSet)
+      refOk && allOk && anyOk && oneOk && iteOk && types.exists(typeOk)
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      nodes.keySet.forEach { o =>
+        if (!sat.containsKey(o) && nodeSat(o)) { sat.put(o, true); changed = true }
+      }
+    }
+    !sat.containsKey(root)
+  }
 
   /** Any $id, $anchor, dynamic/recursive anchors-or-refs, or a $ref that
     * is not of the WHOLE-definition root-defs form (#, #/$defs/x,

@@ -173,6 +173,33 @@ class CanonicalSpec extends AnyFunSuite {
       == Spec.Reject)
   }
 
+  test("recursive-schema emptiness: no finite witness -> Reject; escapes survive") {
+    // every instance needs infinite property depth
+    assert(canon("""{"$defs":{"x":{"type":"object","required":["a"],
+      "properties":{"a":{"$ref":"#/$defs/x"}}}},"$ref":"#/$defs/x"}""") == Spec.Reject)
+    // arrays forced nonempty with self-typed items
+    assert(canon("""{"$defs":{"x":{"type":"array","minItems":1,
+      "items":{"$ref":"#/$defs/x"}}},"$ref":"#/$defs/x"}""") == Spec.Reject)
+    // mutual recursion without a base case
+    assert(canon("""{"$defs":{
+      "x":{"type":"object","required":["y"],"properties":{"y":{"$ref":"#/$defs/y"}}},
+      "y":{"type":"object","required":["x"],"properties":{"x":{"$ref":"#/$defs/x"}}}},
+      "$ref":"#/$defs/x"}""") == Spec.Reject)
+    // escape via anyOf null branch: satisfiable
+    assert(canon("""{"$defs":{"x":{"anyOf":[{"type":"null"},
+      {"type":"object","required":["a"],"properties":{"a":{"$ref":"#/$defs/x"}}}]}},
+      "$ref":"#/$defs/x"}""") != Spec.Reject)
+    // escape because the recursive property is OPTIONAL: satisfiable
+    assert(canon("""{"$defs":{"x":{"type":"object",
+      "properties":{"next":{"$ref":"#/$defs/x"}}}},"$ref":"#/$defs/x"}""") != Spec.Reject)
+    // non-recursive: required key forbidden by additionalProperties:false
+    assert(canon("""{"type":"object","required":["a"],
+      "additionalProperties":false}""") == Spec.Reject)
+    // ...but allowed when properties covers it
+    assert(canon("""{"type":"object","required":["a"],
+      "properties":{"a":{}},"additionalProperties":false}""") != Spec.Reject)
+  }
+
   test("allOf with combinator members stays as allOf") {
     val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
       .asInstanceOf[Spec.Obj]
