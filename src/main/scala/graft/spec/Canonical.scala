@@ -436,9 +436,15 @@ object Canonical {
       b.pattern.nonEmpty && a.pattern.nonEmpty ||  // two patterns: keep both
       b.format.nonEmpty && a.format.nonEmpty ||
       b.const.nonEmpty && a.const.nonEmpty ||
-      b.enumVals.nonEmpty && a.enumVals.nonEmpty ||
-      b.multipleOf.nonEmpty && a.multipleOf.nonEmpty
-    if (bHasUnmergeable) None
+      b.enumVals.nonEmpty && a.enumVals.nonEmpty
+    // two multipleOf merge to their exact rational LCM (`divisors.rs`
+    // lite): x%a==0 ∧ x%b==0 ⟺ x%lcm(a,b)==0; both operands come from
+    // decimal literals, so the LCM has a terminating decimal form
+    val multipleMerged: Option[Option[BigDecimal]] = (a.multipleOf, b.multipleOf) match {
+      case (Some(x), Some(y)) => lcmRational(x, y).map(Some(_))
+      case (x, y) => Some(x.orElse(y))
+    }
+    if (bHasUnmergeable || multipleMerged.isEmpty) None
     else Some(a.copy(
       types = (a.types, b.types) match {
         case (Some(x), Some(y)) => Some(intersectTypes(x, y))
@@ -450,7 +456,7 @@ object Canonical {
       maximum = minOf(a.maximum, b.maximum),
       exclusiveMinimum = maxOf(a.exclusiveMinimum, b.exclusiveMinimum),
       exclusiveMaximum = minOf(a.exclusiveMaximum, b.exclusiveMaximum),
-      multipleOf = a.multipleOf.orElse(b.multipleOf),
+      multipleOf = multipleMerged.get,
       minLength = maxOfL(a.minLength, b.minLength),
       maxLength = minOfL(a.maxLength, b.maxLength),
       pattern = a.pattern.orElse(b.pattern),
@@ -464,6 +470,28 @@ object Canonical {
       minContains = maxOfL(a.minContains, b.minContains),
       maxContains = minOfL(a.maxContains, b.maxContains),
     ))
+  }
+
+  /** Exact LCM of two positive decimal rationals: reduce to fractions
+    * p/q (q a power of 10 over the gcd, so only 2s and 5s remain),
+    * lcm = lcm(p1,p2)/gcd(q1,q2) — terminating decimal by construction.
+    * None for non-positive inputs (schema-invalid multipleOf: no merge). */
+  private def lcmRational(a: BigDecimal, b: BigDecimal): Option[BigDecimal] = {
+    if (a.signum <= 0 || b.signum <= 0) return None
+    def frac(x: BigDecimal): (BigInt, BigInt) = {
+      val bd = x.bigDecimal.stripTrailingZeros
+      if (bd.scale <= 0) (BigInt(bd.unscaledValue) * BigInt(10).pow(-bd.scale), BigInt(1))
+      else {
+        val p = BigInt(bd.unscaledValue); val q = BigInt(10).pow(bd.scale)
+        val g = p.gcd(q); (p / g, q / g)
+      }
+    }
+    val (p1, q1) = frac(a); val (p2, q2) = frac(b)
+    val lcmP = p1 / p1.gcd(p2) * p2
+    val gcdQ = q1.gcd(q2)
+    try Some(BigDecimal(new java.math.BigDecimal(lcmP.bigInteger)
+      .divide(new java.math.BigDecimal(gcdQ.bigInteger))))
+    catch { case _: ArithmeticException => None }
   }
 
   /** `integer` ∧ `number` = integer; intersection over the 7-type set. */

@@ -173,6 +173,19 @@ class CanonicalSpec extends AnyFunSuite {
       == Spec.Reject)
   }
 
+  test("allOf multipleOf pairs fold to the exact rational LCM") {
+    val g1 = canon("""{"allOf":[{"multipleOf":4},{"multipleOf":6}]}""").asInstanceOf[Spec.Obj]
+    assert(g1.multipleOf.contains(BigDecimal(12)) && g1.allOf.isEmpty)
+    val g2 = canon("""{"allOf":[{"multipleOf":0.1},{"multipleOf":0.25}]}""").asInstanceOf[Spec.Obj]
+    assert(g2.multipleOf.exists(_.compareTo(BigDecimal("0.5")) == 0), g2.multipleOf)
+    // verdict preserved: 0.5 and 1.0 are multiples of both; 0.2 is not
+    for ((v, want) <- Seq("0.5" -> true, "1.0" -> true, "0.2" -> false, "0.75" -> false))
+      assert(Interp.isValid(g2, JsonValue.parse(v)) == want, v)
+    // LCM overshooting the window -> Reject (numeric gap)
+    assert(canon("""{"type":"number","allOf":[{"multipleOf":4},{"multipleOf":6}],
+      "minimum":1,"maximum":11}""") == Spec.Reject)
+  }
+
   test("recursive-schema emptiness: no finite witness -> Reject; escapes survive") {
     // every instance needs infinite property depth
     assert(canon("""{"$defs":{"x":{"type":"object","required":["a"],

@@ -114,6 +114,8 @@ class PropertySpec extends AnyFunSuite {
     3 -> genScalarSpec,
     2 -> (for (a <- genScalarSpec; b <- genScalarSpec) yield merge(a.asInstanceOf[JObj], b.asInstanceOf[JObj])),
     2 -> (for (a <- genScalarSpec; b <- genScalarSpec)
+      yield obj("allOf" -> JArr(Vector(a, b)))), // exercises allOf folding (incl. multipleOf LCM)
+    2 -> (for (a <- genScalarSpec; b <- genScalarSpec)
       yield obj("anyOf" -> JArr(Vector(a, b)))),
     2 -> (for (a <- genScalarSpec; b <- genScalarSpec)
       yield obj("oneOf" -> JArr(Vector(a, b)))),
