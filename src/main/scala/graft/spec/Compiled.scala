@@ -12,11 +12,11 @@ import java.util.regex.Pattern
   * at table scale.
   *
   * Semantics mirror `Interp.valid` exactly (the tree-walk stays the
-  * executable specification; a differential test drives both). Schemas
-  * using dynamic-scope refs (`$dynamicRef`/`$recursiveRef`) or the
+  * executable specification; a differential test drives both). The
   * annotation-flow keywords (`unevaluatedProperties`/`unevaluatedItems`)
-  * fall back to the tree-walk — their verdicts depend on runtime state the
-  * closure form doesn't carry.
+  * compile too (branch-validity-gated evaluated-set collectors mirroring
+  * the tree-walk); only dynamic-scope refs (`$dynamicRef`/`$recursiveRef`)
+  * fall back — their targets depend on the runtime resource scope.
   *
   * Cycle handling: the tree-walk accepts on a (schema-node, instance-node)
   * revisit; such revisits can only happen along SAME-INSTANCE edges (refs
@@ -70,9 +70,110 @@ object Compiled {
         else build(o, o :: sp)
     }
 
+    /** Compiled evaluated-properties collector — mirrors
+      * `Interp.evaluatedProps` (annotation flow: contributions only from
+      * branches that VALIDATE, branch validity via the compiled `same`
+      * closures, collector recursion guarded by the compile-time visited
+      * chain exactly like the runtime fixpoint guard). */
+    private def evCollector(o: Spec.Obj, includeSelf: Boolean,
+                            visited: List[Spec.Obj], sp: List[Spec.Obj]): JObj => Set[String] = {
+      if (visited.exists(_ eq o)) return _ => Set.empty
+      val vis = o :: visited
+      val static: JObj => Set[String] = {
+        val all = o.additionalProperties.nonEmpty ||
+          (includeSelf && o.unevaluatedProperties.nonEmpty)
+        val propNames = o.propertyNameSet
+        val pats = o.patternProperties.map(p => Pattern.compile(EcmaRegex.translate(p._1)))
+        ob => {
+          val keys = ob.fields.map(_._1).toSet
+          if (all) keys
+          else propNames.filter(keys.contains) ++
+            (if (pats.isEmpty) Set.empty[String]
+             else keys.filter(k => pats.exists(_.matcher(k).find())))
+        }
+      }
+      // (validity, collector) per in-place branch that can contribute
+      def branch(b: Spec): Option[(C, JObj => Set[String])] = b match {
+        case bo: Spec.Obj => Some((same(bo, sp), evCollector(bo, includeSelf = true, vis, sp)))
+        case _ => None // Accept evaluates nothing; Reject never validates
+      }
+      val plain = (o.allOf ++ o.anyOf ++ o.oneOf).flatMap(branch) ++
+        o.ref.toVector.flatMap { r =>
+          registry.resolve(r, registry.resourceOf(o)).flatMap(t => branch(t._1))
+        }
+      val ite = o.ifSpec.map { i =>
+        val ci = same(i, sp)
+        val iBr = branch(i)
+        val tBr = o.thenSpec.flatMap(branch)
+        val eBr = o.elseSpec.flatMap(branch)
+        (ci, iBr, tBr, eBr)
+      }
+      val deps = o.dependentSchemas.flatMap { case (k, sub) =>
+        branch(sub).map(bc => (k, bc))
+      }
+      ob => {
+        var out = static(ob)
+        plain.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
+        ite.foreach { case (ci, iBr, tBr, eBr) =>
+          if (ci(ob)) {
+            iBr.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
+            tBr.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
+          } else eBr.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
+        }
+        deps.foreach { case (k, (v, c)) =>
+          if (ob.toMap.contains(k) && v(ob)) out ++= c(ob)
+        }
+        out
+      }
+    }
+
+    /** Compiled item-coverage collector — mirrors `Interp.itemCov`:
+      * (allCovered, prefixLen, compiled contains checks). */
+    private def itemCovCollector(o: Spec.Obj, includeSelf: Boolean,
+                                 visited: List[Spec.Obj],
+                                 sp: List[Spec.Obj]): JsonValue => (Boolean, Int, Vector[C]) = {
+      if (visited.exists(_ eq o)) return _ => (false, 0, Vector.empty)
+      val vis = o :: visited
+      val selfAll = o.items.nonEmpty || (includeSelf && o.unevaluatedItems.nonEmpty)
+      val selfPrefix = o.prefixItems.length
+      val selfContains = o.contains.toVector.map(descend)
+      def branch(b: Spec): Option[(C, JsonValue => (Boolean, Int, Vector[C]))] = b match {
+        case bo: Spec.Obj => Some((same(bo, sp), itemCovCollector(bo, includeSelf = true, vis, sp)))
+        case _ => None
+      }
+      val plain = (o.allOf ++ o.anyOf ++ o.oneOf).flatMap(branch) ++
+        o.ref.toVector.flatMap { r =>
+          registry.resolve(r, registry.resourceOf(o)).flatMap(t => branch(t._1))
+        }
+      val ite = o.ifSpec.map { i =>
+        (same(i, sp), branch(i), o.thenSpec.flatMap(branch), o.elseSpec.flatMap(branch))
+      }
+      val deps = o.dependentSchemas.flatMap { case (k, sub) => branch(sub).map(bc => (k, bc)) }
+      v => {
+        var all = selfAll; var prefix = selfPrefix; var contains = selfContains
+        def add(pair: (C, JsonValue => (Boolean, Int, Vector[C]))): Unit = {
+          val (vc, cc) = pair
+          if (vc(v)) {
+            val (a2, p2, c2) = cc(v)
+            all ||= a2; prefix = math.max(prefix, p2); contains ++= c2
+          }
+        }
+        plain.foreach(add)
+        ite.foreach { case (ci, iBr, tBr, eBr) =>
+          if (ci(v)) { iBr.foreach(add); tBr.foreach(add) } else eBr.foreach(add)
+        }
+        deps.foreach { case (k, bc) =>
+          v match {
+            case ob: JObj if ob.toMap.contains(k) => add(bc)
+            case _ => ()
+          }
+        }
+        (all, prefix, contains)
+      }
+    }
+
     private def build(o: Spec.Obj, sp: List[Spec.Obj]): C = {
-      if (o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty ||
-          o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty) throw Bail
+      if (o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty) throw Bail
       budget -= 1
       if (budget < 0) throw Bail
       val cs = Vector.newBuilder[C]
@@ -206,6 +307,30 @@ object Compiled {
       if (arrOnly.nonEmpty) cs += {
         case JArr(a) => arrOnly.forall(_(a))
         case _ => true
+      }
+
+      // ---- annotation-flow keywords ---------------------------------------
+      o.unevaluatedProperties.foreach { u =>
+        val uc = descend(u)
+        val ev = evCollector(o, includeSelf = false, Nil, sp)
+        cs += {
+          case ob: JObj =>
+            val e = ev(ob)
+            ob.fields.forall { case (k, pv) => e.contains(k) || uc(pv) }
+          case _ => true
+        }
+      }
+      o.unevaluatedItems.foreach { u =>
+        val uc = descend(u)
+        val cov = itemCovCollector(o, includeSelf = false, Nil, sp)
+        cs += {
+          case v @ JArr(a) =>
+            val (allCov, prefix, contains) = cov(v)
+            allCov || a.zipWithIndex.forall { case (x, i) =>
+              i < prefix || contains.exists(p => p(x)) || uc(x)
+            }
+          case _ => true
+        }
       }
 
       // ---- combinators (same-value edges) ---------------------------------

@@ -48,14 +48,18 @@ class CompiledSpec extends AnyFunSuite {
     assert(compiledCases > 200) // the fast path must cover the bulk of the corpus
   }
 
-  test("dynamic-scope and annotation-flow schemas fall back to the tree-walk") {
+  test("dynamic-scope schemas fall back to the tree-walk; unevaluated* compile") {
     for (json <- Seq(
       """{"$dynamicRef": "#x", "$defs": {"a": {"$dynamicAnchor": "x"}}}""",
-      """{"$recursiveRef": "#", "$recursiveAnchor": true}""",
+      """{"$recursiveRef": "#", "$recursiveAnchor": true}""")) {
+      val p = Interp.prepare(Spec.parseJson(json))
+      assert(Compiled.compile(p.registry, p.entry).isEmpty, json)
+    }
+    for (json <- Seq(
       """{"unevaluatedProperties": false}""",
       """{"properties": {"a": {"unevaluatedItems": false}}}""")) {
       val p = Interp.prepare(Spec.parseJson(json))
-      assert(Compiled.compile(p.registry, p.entry).isEmpty, json)
+      assert(Compiled.compile(p.registry, p.entry).nonEmpty, json)
     }
   }
 
