@@ -195,6 +195,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -- sampling: deterministic hash split (reproducible train/val) -----
+    "q_docs_split" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.text.Sampling.splitAssign(col("doc_id"), 950, "split1").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // -- sampling: per-group quota (stratified downsample, hash order) ---
+    "q_events_quota_sample" -> ((s, dir) => {
+      graft.text.Sampling.sampleQuotaPerGroup(t(s, dir, "events"),
+          "event_type", "event_id", quota = 20, salt = "q1")
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // -- dedup end-to-end: corpus minus non-canonical near-duplicates ----
     "q_docs_dedup_corpus" -> ((s, dir) => {
       graft.text.Components.dedupCorpus(t(s, dir, "documents"),
@@ -566,6 +581,22 @@ object SparkEntry {
       FROM pairs
       WHERE common / (sz_a + sz_b - common)::DOUBLE >= 0.12
       ORDER BY id_a, id_b""",
+
+    "q_docs_split" -> """
+      SELECT doc_id,
+             CASE WHEN ('0x' || substring(md5('split1' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000 < 950
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents ORDER BY doc_id""",
+
+    "q_events_quota_sample" -> """
+      SELECT event_id, event_type FROM (
+        SELECT event_id, event_type,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY ('0x' || substring(md5('q1' || event_id::VARCHAR), 1, 8))::BIGINT
+                          % 1000000000, event_id) AS rk
+        FROM events) WHERE rk <= 20
+      ORDER BY event_id""",
 
     "q_docs_dedup_corpus" -> """
       WITH RECURSIVE t AS (
