@@ -12,49 +12,77 @@ import java.util.regex.Pattern
   * at table scale.
   *
   * Semantics mirror `Interp.valid` exactly (the tree-walk stays the
-  * executable specification; a differential test drives both). The
-  * annotation-flow keywords (`unevaluatedProperties`/`unevaluatedItems`)
-  * compile too (branch-validity-gated evaluated-set collectors mirroring
-  * the tree-walk); only dynamic-scope refs (`$dynamicRef`/`$recursiveRef`)
-  * fall back — their targets depend on the runtime resource scope.
+  * executable specification; differential tests drive both). Everything
+  * compiles — including the annotation-flow keywords (branch-validity-
+  * gated evaluated-set collectors) and the dynamic-scope refs:
   *
-  * Cycle handling: the tree-walk accepts on a (schema-node, instance-node)
-  * revisit; such revisits can only happen along SAME-INSTANCE edges (refs
-  * and combinators — descent into a finite instance tree cannot return to
-  * the same value). The same-value chain is statically known, so the cut
-  * compiles to a constant-true ref check. Descent positions are memoized
-  * by node identity; same-value skeletons are compiled per chain (bounded
-  * by a node budget, overflow → fall back to the tree-walk).
+  *  - The dynamic SCOPE (chain of `$id` resources entered) threads through
+  *    every closure as a runtime argument; resource-crossing appends are
+  *    decided statically per edge (each edge's parent/child resources are
+  *    known at compile time), so non-crossing edges pay nothing.
+  *  - `$dynamicRef`/`$recursiveRef` compile to a dispatch over the FINITE
+  *    candidate set (static target + every resource carrying the anchor),
+  *    each candidate precompiled; `resolveDynamic` picks at run time.
+  *
+  * Cycle handling: static same-value ref chains are cut at compile time
+  * (the tree-walk accepts on a (schema-node, instance-node) revisit, and
+  * such revisits only happen along same-instance edges). Chains through a
+  * DYNAMIC dispatch cannot be cut statically, so each dispatch site keeps
+  * a per-thread (target, instance) stack and accepts on revisit — the
+  * same rule, enforced at exactly the points static analysis cannot see.
   */
 object Compiled {
 
   type C = JsonValue => Boolean
-  private val True: C = _ => true
-  private val False: C = _ => false
+  /** Internal closure: (instance, dynamic scope) → verdict. A node's
+    * closure assumes the scope already contains its own resource. */
+  private type D = (JsonValue, List[Registry.Resource]) => Boolean
+  private val TrueD: D = (_, _) => true
+  private val FalseD: D = (_, _) => false
 
   private object Bail extends RuntimeException { override def fillInStackTrace(): Throwable = this }
 
-  /** None ⇒ use the tree-walk (dynamic feature, annotation flow, or
-    * compile budget exceeded). */
+  /** None ⇒ use the tree-walk (compile budget exceeded). */
   def compile(registry: Registry, entry: Spec): Option[C] =
-    try Some(new Builder(registry).descend(entry))
-    catch { case Bail => None }
+    try {
+      val d = new Builder(registry).descend(entry)
+      val scope0 = entry match {
+        case o: Spec.Obj => List(registry.resourceOf(o))
+        case _           => List(registry.rootResource)
+      }
+      Some(v => d(v, scope0))
+    } catch { case Bail => None }
+
+  /** Per-thread stack of (schema-node, instance) pairs for the dynamic
+    * dispatch sites' cycle rule. */
+  private val dynStack = new ThreadLocal[java.util.ArrayDeque[(AnyRef, AnyRef)]] {
+    override def initialValue() = new java.util.ArrayDeque[(AnyRef, AnyRef)]()
+  }
 
   private final class Builder(registry: Registry) {
-    private val memo = new java.util.IdentityHashMap[Spec.Obj, C]()
+    private val memo = new java.util.IdentityHashMap[Spec.Obj, D]()
     private var budget = 20000
 
-    def descend(s: Spec): C = s match {
-      case Spec.Accept => True
-      case Spec.Reject => False
+    /** Edge wrapper: extend the runtime scope when this edge crosses into
+      * a different resource (statically known per edge). */
+    private def edge(parentRes: Registry.Resource, target: Spec, d: D): D = target match {
+      case o: Spec.Obj =>
+        val r = registry.resourceOf(o)
+        if (r eq parentRes) d else (v, sc) => d(v, sc :+ r)
+      case _ => d
+    }
+
+    def descend(s: Spec): D = s match {
+      case Spec.Accept => TrueD
+      case Spec.Reject => FalseD
       case o: Spec.Obj =>
         val hit = memo.get(o)
         if (hit != null) hit
         else {
           // forward cell: recursive refs back to this node resolve through
           // one indirection while the body is still being built
-          var body: C = null
-          memo.put(o, v => body(v))
+          var body: D = null
+          memo.put(o, (v, sc) => body(v, sc))
           body = build(o, o :: Nil)
           body
         }
@@ -62,12 +90,73 @@ object Compiled {
 
     /** Compile for a SAME-VALUE position (ref/combinator edge): `sp` is
       * the chain of schema nodes already entered at this instance value. */
-    private def same(s: Spec, sp: List[Spec.Obj]): C = s match {
-      case Spec.Accept => True
-      case Spec.Reject => False
+    private def same(s: Spec, sp: List[Spec.Obj]): D = s match {
+      case Spec.Accept => TrueD
+      case Spec.Reject => FalseD
       case o: Spec.Obj =>
-        if (sp.exists(_ eq o)) True // structure-free cycle ⇒ accept
+        if (sp.exists(_ eq o)) TrueD // structure-free cycle ⇒ accept
         else build(o, o :: sp)
+    }
+
+    /** Dynamic dispatch: resolve the target from the RUNTIME scope, run
+      * its precompiled closure, with the (target, instance) cycle rule. */
+    private def dynamicDispatch(baseRes: Registry.Resource,
+                                resolveAt: List[Registry.Resource] => Option[(Spec, Registry.Resource)],
+                                candidates: Seq[(Spec, Registry.Resource)]): D = {
+      val compiledBy = new java.util.IdentityHashMap[AnyRef, D]()
+      candidates.foreach { case (t, res) =>
+        val key: AnyRef = t
+        if (!compiledBy.containsKey(key)) {
+          val body = t match {
+            case Spec.Accept => TrueD
+            case Spec.Reject => FalseD
+            case o: Spec.Obj => descend(o)
+          }
+          val wrapped: D =
+            if (res eq baseRes) body else (v, sc) => body(v, sc :+ res)
+          compiledBy.put(key, wrapped)
+        }
+      }
+      (v, sc) => resolveAt(sc) match {
+        case Some((t, _)) =>
+          val d = compiledBy.get(t: AnyRef)
+          if (d == null)
+            throw new SpecError("dynamic target missing from the precompiled candidate set")
+          val stack = dynStack.get()
+          val it = stack.iterator()
+          var cycle = false
+          while (!cycle && it.hasNext) {
+            val p = it.next()
+            cycle = (p._1 eq t.asInstanceOf[AnyRef]) && (p._2 eq v.asInstanceOf[AnyRef])
+          }
+          if (cycle) true
+          else {
+            stack.push((t, v))
+            try d(v, sc) finally stack.pop()
+          }
+        case None => throw new SpecError("unresolvable dynamic reference")
+      }
+    }
+
+    private def dynamicRefD(o: Spec.Obj, r: String): D = {
+      val baseRes = registry.resourceOf(o)
+      val frag = Registry.splitFragment(r)._2
+      val static = registry.resolve(r, baseRes)
+      if (static.isEmpty) throw new SpecError(s"unresolvable $$dynamicRef: $r")
+      val anchored = registry.resources.values.toSeq
+        .filter(_.dynamicAnchors.contains(frag))
+        .map(res => (res.dynamicAnchors(frag), res))
+      dynamicDispatch(baseRes, sc => registry.resolveDynamic(r, baseRes, sc),
+        static.toSeq ++ anchored)
+    }
+
+    private def recursiveRefD(o: Spec.Obj): D = {
+      val baseRes = registry.resourceOf(o)
+      val anchored = registry.resources.values.toSeq
+        .filter(res => Registry.hasRecursiveAnchor(res.spec))
+        .map(res => (res.spec, res))
+      dynamicDispatch(baseRes, sc => Some(registry.resolveRecursive(baseRes, sc)),
+        (baseRes.spec, baseRes) +: anchored)
     }
 
     /** Compiled evaluated-properties collector — mirrors
@@ -75,10 +164,12 @@ object Compiled {
       * branches that VALIDATE, branch validity via the compiled `same`
       * closures, collector recursion guarded by the compile-time visited
       * chain exactly like the runtime fixpoint guard). */
+    private type EvC = (JObj, List[Registry.Resource]) => Set[String]
     private def evCollector(o: Spec.Obj, includeSelf: Boolean,
-                            visited: List[Spec.Obj], sp: List[Spec.Obj]): JObj => Set[String] = {
-      if (visited.exists(_ eq o)) return _ => Set.empty
+                            visited: List[Spec.Obj], sp: List[Spec.Obj]): EvC = {
+      if (visited.exists(_ eq o)) return (_, _) => Set.empty
       val vis = o :: visited
+      val oRes = registry.resourceOf(o)
       val static: JObj => Set[String] = {
         val all = o.additionalProperties.nonEmpty ||
           (includeSelf && o.unevaluatedProperties.nonEmpty)
@@ -92,36 +183,64 @@ object Compiled {
              else keys.filter(k => pats.exists(_.matcher(k).find())))
         }
       }
-      // (validity, collector) per in-place branch that can contribute
-      def branch(b: Spec): Option[(C, JObj => Set[String])] = b match {
-        case bo: Spec.Obj => Some((same(bo, sp), evCollector(bo, includeSelf = true, vis, sp)))
+      // (validity, collector) per in-place branch; scope-extended per edge
+      def branch(b: Spec): Option[(D, EvC)] = b match {
+        case bo: Spec.Obj =>
+          val bRes = registry.resourceOf(bo)
+          val vC = edge(oRes, bo, same(bo, sp))
+          val cC0 = evCollector(bo, includeSelf = true, vis, sp)
+          val cC: EvC =
+            if (bRes eq oRes) cC0 else (ob, sc) => cC0(ob, sc :+ bRes)
+          Some((vC, cC))
         case _ => None // Accept evaluates nothing; Reject never validates
       }
       val plain = (o.allOf ++ o.anyOf ++ o.oneOf).flatMap(branch) ++
         o.ref.toVector.flatMap { r =>
-          registry.resolve(r, registry.resourceOf(o)).flatMap(t => branch(t._1))
+          registry.resolve(r, oRes).flatMap(t => branch(t._1))
+        }
+      // dynamic-scope branches: dispatch both validity and collection
+      val dynBranches: Vector[(JObj, List[Registry.Resource]) => Set[String]] =
+        (o.dynamicRef.toVector.map { r =>
+          (r, (sc: List[Registry.Resource]) => registry.resolveDynamic(r, oRes, sc))
+        } ++ o.recursiveRef.toVector.map { _ =>
+          ("#recursive", (sc: List[Registry.Resource]) => Some(registry.resolveRecursive(oRes, sc)))
+        }).map { case (_, resolveAt) =>
+          // candidates compiled lazily per resolved target identity
+          val vCache = new java.util.IdentityHashMap[AnyRef, (D, EvC)]()
+          (ob: JObj, sc: List[Registry.Resource]) => resolveAt(sc) match {
+            case Some((bo: Spec.Obj, res)) =>
+              var pair = vCache.get(bo: AnyRef)
+              if (pair == null) {
+                val vC0 = descend(bo)
+                val vC: D = if (res eq oRes) vC0 else (v2, s2) => vC0(v2, s2 :+ res)
+                val cC0 = evCollector(bo, includeSelf = true, vis, sp)
+                val cC: EvC = if (res eq oRes) cC0 else (o2, s2) => cC0(o2, s2 :+ res)
+                pair = (vC, cC)
+                vCache.put(bo, pair)
+              }
+              if (pair._1(ob, sc)) pair._2(ob, sc) else Set.empty[String]
+            case _ => Set.empty[String]
+          }
         }
       val ite = o.ifSpec.map { i =>
-        val ci = same(i, sp)
-        val iBr = branch(i)
-        val tBr = o.thenSpec.flatMap(branch)
-        val eBr = o.elseSpec.flatMap(branch)
-        (ci, iBr, tBr, eBr)
+        (edge(oRes, i, same(i, sp)), branch(i),
+          o.thenSpec.flatMap(branch), o.elseSpec.flatMap(branch))
       }
       val deps = o.dependentSchemas.flatMap { case (k, sub) =>
         branch(sub).map(bc => (k, bc))
       }
-      ob => {
+      (ob, sc) => {
         var out = static(ob)
-        plain.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
+        plain.foreach { case (v, c) => if (v(ob, sc)) out ++= c(ob, sc) }
+        dynBranches.foreach(f => out ++= f(ob, sc))
         ite.foreach { case (ci, iBr, tBr, eBr) =>
-          if (ci(ob)) {
-            iBr.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
-            tBr.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
-          } else eBr.foreach { case (v, c) => if (v(ob)) out ++= c(ob) }
+          if (ci(ob, sc)) {
+            iBr.foreach { case (v, c) => if (v(ob, sc)) out ++= c(ob, sc) }
+            tBr.foreach { case (v, c) => if (v(ob, sc)) out ++= c(ob, sc) }
+          } else eBr.foreach { case (v, c) => if (v(ob, sc)) out ++= c(ob, sc) }
         }
         deps.foreach { case (k, (v, c)) =>
-          if (ob.toMap.contains(k) && v(ob)) out ++= c(ob)
+          if (ob.toMap.contains(k) && v(ob, sc)) out ++= c(ob, sc)
         }
         out
       }
@@ -129,38 +248,72 @@ object Compiled {
 
     /** Compiled item-coverage collector — mirrors `Interp.itemCov`:
       * (allCovered, prefixLen, compiled contains checks). */
+    private type CovC = (JsonValue, List[Registry.Resource]) => (Boolean, Int, Vector[D])
     private def itemCovCollector(o: Spec.Obj, includeSelf: Boolean,
-                                 visited: List[Spec.Obj],
-                                 sp: List[Spec.Obj]): JsonValue => (Boolean, Int, Vector[C]) = {
-      if (visited.exists(_ eq o)) return _ => (false, 0, Vector.empty)
+                                 visited: List[Spec.Obj], sp: List[Spec.Obj]): CovC = {
+      if (visited.exists(_ eq o)) return (_, _) => (false, 0, Vector.empty)
       val vis = o :: visited
+      val oRes = registry.resourceOf(o)
       val selfAll = o.items.nonEmpty || (includeSelf && o.unevaluatedItems.nonEmpty)
       val selfPrefix = o.prefixItems.length
-      val selfContains = o.contains.toVector.map(descend)
-      def branch(b: Spec): Option[(C, JsonValue => (Boolean, Int, Vector[C]))] = b match {
-        case bo: Spec.Obj => Some((same(bo, sp), itemCovCollector(bo, includeSelf = true, vis, sp)))
+      val selfContains = o.contains.toVector.map(c => edge(oRes, c, descend(c)))
+      def branch(b: Spec): Option[(D, CovC)] = b match {
+        case bo: Spec.Obj =>
+          val bRes = registry.resourceOf(bo)
+          val vC = edge(oRes, bo, same(bo, sp))
+          val cC0 = itemCovCollector(bo, includeSelf = true, vis, sp)
+          val cC: CovC =
+            if (bRes eq oRes) cC0 else (v2, sc) => cC0(v2, sc :+ bRes)
+          Some((vC, cC))
         case _ => None
       }
       val plain = (o.allOf ++ o.anyOf ++ o.oneOf).flatMap(branch) ++
         o.ref.toVector.flatMap { r =>
-          registry.resolve(r, registry.resourceOf(o)).flatMap(t => branch(t._1))
+          registry.resolve(r, oRes).flatMap(t => branch(t._1))
+        }
+      val dynBranches: Vector[CovC] =
+        (o.dynamicRef.toVector.map { r =>
+          (sc: List[Registry.Resource]) => registry.resolveDynamic(r, oRes, sc)
+        } ++ o.recursiveRef.toVector.map { _ =>
+          (sc: List[Registry.Resource]) => Some(registry.resolveRecursive(oRes, sc))
+        }).map { resolveAt =>
+          val vCache = new java.util.IdentityHashMap[AnyRef, (D, CovC)]()
+          (v: JsonValue, sc: List[Registry.Resource]) => resolveAt(sc) match {
+            case Some((bo: Spec.Obj, res)) =>
+              var pair = vCache.get(bo: AnyRef)
+              if (pair == null) {
+                val vC0 = descend(bo)
+                val vC: D = if (res eq oRes) vC0 else (v2, s2) => vC0(v2, s2 :+ res)
+                val cC0 = itemCovCollector(bo, includeSelf = true, vis, sp)
+                val cC: CovC = if (res eq oRes) cC0 else (v2, s2) => cC0(v2, s2 :+ res)
+                pair = (vC, cC)
+                vCache.put(bo, pair)
+              }
+              if (pair._1(v, sc)) pair._2(v, sc) else (false, 0, Vector.empty[D])
+            case _ => (false, 0, Vector.empty[D])
+          }
         }
       val ite = o.ifSpec.map { i =>
-        (same(i, sp), branch(i), o.thenSpec.flatMap(branch), o.elseSpec.flatMap(branch))
+        (edge(oRes, i, same(i, sp)), branch(i),
+          o.thenSpec.flatMap(branch), o.elseSpec.flatMap(branch))
       }
       val deps = o.dependentSchemas.flatMap { case (k, sub) => branch(sub).map(bc => (k, bc)) }
-      v => {
+      (v, sc) => {
         var all = selfAll; var prefix = selfPrefix; var contains = selfContains
-        def add(pair: (C, JsonValue => (Boolean, Int, Vector[C]))): Unit = {
+        def add(pair: (D, CovC)): Unit = {
           val (vc, cc) = pair
-          if (vc(v)) {
-            val (a2, p2, c2) = cc(v)
+          if (vc(v, sc)) {
+            val (a2, p2, c2) = cc(v, sc)
             all ||= a2; prefix = math.max(prefix, p2); contains ++= c2
           }
         }
         plain.foreach(add)
+        dynBranches.foreach { f =>
+          val (a2, p2, c2) = f(v, sc)
+          all ||= a2; prefix = math.max(prefix, p2); contains ++= c2
+        }
         ite.foreach { case (ci, iBr, tBr, eBr) =>
-          if (ci(v)) { iBr.foreach(add); tBr.foreach(add) } else eBr.foreach(add)
+          if (ci(v, sc)) { iBr.foreach(add); tBr.foreach(add) } else eBr.foreach(add)
         }
         deps.foreach { case (k, bc) =>
           v match {
@@ -172,28 +325,33 @@ object Compiled {
       }
     }
 
-    private def build(o: Spec.Obj, sp: List[Spec.Obj]): C = {
-      if (o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty) throw Bail
+    private def build(o: Spec.Obj, sp: List[Spec.Obj]): D = {
       budget -= 1
       if (budget < 0) throw Bail
-      val cs = Vector.newBuilder[C]
+      val oRes = registry.resourceOf(o)
+      def enterD(target: Spec, d: D): D = edge(oRes, target, d)
+      val cs = Vector.newBuilder[D]
 
       o.ref.foreach { r =>
-        registry.resolve(r, registry.resourceOf(o)) match {
-          case Some((target, _)) => cs += same(target, sp)
+        registry.resolve(r, oRes) match {
+          case Some((target, tRes)) =>
+            val body = same(target, sp)
+            cs += (if (tRes eq oRes) body else (v, sc) => body(v, sc :+ tRes))
           case None => throw new SpecError(s"unresolvable $$ref: $r")
         }
       }
+      o.dynamicRef.foreach { r => cs += dynamicRefD(o, r) }
+      o.recursiveRef.foreach { _ => cs += recursiveRefD(o) }
 
       o.types.foreach { ts =>
         val hasNum = ts.contains(JsonType.Number)
-        cs += { v =>
+        cs += { (v, _) =>
           val t = v.jsonType
           ts.contains(t) || (t == JsonType.Integer && hasNum)
         }
       }
-      o.const.foreach { c => cs += (v => JsonValue.equal(c, v)) }
-      o.enumVals.foreach { es => cs += (v => es.exists(JsonValue.equal(_, v))) }
+      o.const.foreach { c => cs += ((v, _) => JsonValue.equal(c, v)) }
+      o.enumVals.foreach { es => cs += ((v, _) => es.exists(JsonValue.equal(_, v))) }
 
       if (o.minimum.nonEmpty || o.maximum.nonEmpty || o.exclusiveMinimum.nonEmpty ||
           o.exclusiveMaximum.nonEmpty || o.multipleOf.nonEmpty) {
@@ -201,167 +359,168 @@ object Compiled {
         val emi = o.exclusiveMinimum; val ema = o.exclusiveMaximum
         val mo = o.multipleOf
         val zero = BigDecimal(0)
-        cs += {
+        cs += { (v, _) => v match {
           case JNum(n) =>
             mi.forall(n >= _) && ma.forall(n <= _) &&
             emi.forall(n > _) && ema.forall(n < _) &&
             mo.forall(m => (n remainder m).compareTo(zero) == 0)
           case _ => true
-        }
+        } }
       }
 
       if (o.minLength.nonEmpty || o.maxLength.nonEmpty || o.pattern.nonEmpty) {
         val minL = o.minLength; val maxL = o.maxLength
         val pat: Option[Pattern] = o.pattern.map(p => Pattern.compile(EcmaRegex.translate(p)))
-        cs += {
+        cs += { (v, _) => v match {
           case JStr(s) =>
             (minL.isEmpty && maxL.isEmpty || {
               val n = s.codePointCount(0, s.length)
               minL.forall(n >= _) && maxL.forall(n <= _)
             }) && pat.forall(_.matcher(s).find())
           case _ => true
-        }
+        } }
       }
 
       // ---- object keywords ------------------------------------------------
-      val objChecks = Vector.newBuilder[JObj => Boolean]
+      val objChecks = Vector.newBuilder[(JObj, List[Registry.Resource]) => Boolean]
       if (o.required.nonEmpty) {
         val req = o.required
-        objChecks += (ob => req.forall(ob.toMap.contains))
+        objChecks += ((ob, _) => req.forall(ob.toMap.contains))
       }
-      o.minProperties.foreach(n => objChecks += (_.fields.length >= n))
-      o.maxProperties.foreach(n => objChecks += (_.fields.length <= n))
+      o.minProperties.foreach(n => objChecks += ((ob, _) => ob.fields.length >= n))
+      o.maxProperties.foreach(n => objChecks += ((ob, _) => ob.fields.length <= n))
       if (o.properties.nonEmpty) {
-        val props: Vector[(String, C)] = o.properties.map { case (k, sub) => (k, descend(sub)) }
-        objChecks += (ob => props.forall { case (k, c) => ob.get(k).forall(c) })
+        val props: Vector[(String, D)] =
+          o.properties.map { case (k, sub) => (k, enterD(sub, descend(sub))) }
+        objChecks += ((ob, sc) => props.forall { case (k, c) => ob.get(k).forall(c(_, sc)) })
       }
       if (o.patternProperties.nonEmpty) {
-        val pats: Vector[(Pattern, C)] = o.patternProperties.map { case (p, sub) =>
-          (Pattern.compile(EcmaRegex.translate(p)), descend(sub))
+        val pats: Vector[(Pattern, D)] = o.patternProperties.map { case (p, sub) =>
+          (Pattern.compile(EcmaRegex.translate(p)), enterD(sub, descend(sub)))
         }
-        objChecks += (ob => pats.forall { case (re, c) =>
-          ob.fields.forall { case (k, value) => !re.matcher(k).find() || c(value) }
+        objChecks += ((ob, sc) => pats.forall { case (re, c) =>
+          ob.fields.forall { case (k, value) => !re.matcher(k).find() || c(value, sc) }
         })
       }
       o.additionalProperties.foreach { ap =>
-        val c = descend(ap)
+        val c = enterD(ap, descend(ap))
         val names = o.propertyNameSet
         val pats = o.patternProperties.map(p => Pattern.compile(EcmaRegex.translate(p._1)))
-        objChecks += (ob => ob.fields.forall { case (k, value) =>
-          names.contains(k) || pats.exists(_.matcher(k).find()) || c(value)
+        objChecks += ((ob, sc) => ob.fields.forall { case (k, value) =>
+          names.contains(k) || pats.exists(_.matcher(k).find()) || c(value, sc)
         })
       }
       o.propertyNames.foreach { pn =>
-        val c = descend(pn)
-        objChecks += (ob => ob.fields.forall { case (k, _) => c(JStr(k)) })
+        val c = enterD(pn, descend(pn))
+        objChecks += ((ob, sc) => ob.fields.forall { case (k, _) => c(JStr(k), sc) })
       }
       if (o.dependentRequired.nonEmpty) {
         val dr = o.dependentRequired
-        objChecks += (ob => dr.forall { case (k, deps) =>
+        objChecks += ((ob, _) => dr.forall { case (k, deps) =>
           !ob.toMap.contains(k) || deps.forall(ob.toMap.contains)
         })
       }
       val objOnly = objChecks.result()
       // dependentSchemas validates the WHOLE value (same-value edge)
-      val depSchemas: Vector[(String, C)] =
-        o.dependentSchemas.map { case (k, sub) => (k, same(sub, sp)) }
-      if (objOnly.nonEmpty || depSchemas.nonEmpty) cs += {
+      val depSchemas: Vector[(String, D)] =
+        o.dependentSchemas.map { case (k, sub) => (k, enterD(sub, same(sub, sp))) }
+      if (objOnly.nonEmpty || depSchemas.nonEmpty) cs += { (v, sc) => v match {
         case ob: JObj =>
-          objOnly.forall(_(ob)) &&
-          depSchemas.forall { case (k, c) => !ob.toMap.contains(k) || c(ob) }
+          objOnly.forall(_(ob, sc)) &&
+          depSchemas.forall { case (k, c) => !ob.toMap.contains(k) || c(ob, sc) }
         case _ => true
-      }
+      } }
 
       // ---- array keywords -------------------------------------------------
-      val arrChecks = Vector.newBuilder[Vector[JsonValue] => Boolean]
-      o.minItems.foreach(n => arrChecks += (_.length >= n))
-      o.maxItems.foreach(n => arrChecks += (_.length <= n))
-      if (o.uniqueItems) arrChecks += allUnique
+      val arrChecks = Vector.newBuilder[(Vector[JsonValue], List[Registry.Resource]) => Boolean]
+      o.minItems.foreach(n => arrChecks += ((a, _) => a.length >= n))
+      o.maxItems.foreach(n => arrChecks += ((a, _) => a.length <= n))
+      if (o.uniqueItems) arrChecks += ((a, _) => allUnique(a))
       if (o.prefixItems.nonEmpty) {
-        val pre = o.prefixItems.map(descend)
-        arrChecks += (a => {
+        val pre = o.prefixItems.map(s => enterD(s, descend(s)))
+        arrChecks += ((a, sc) => {
           var i = 0; var ok = true
-          while (ok && i < pre.length && i < a.length) { ok = pre(i)(a(i)); i += 1 }
+          while (ok && i < pre.length && i < a.length) { ok = pre(i)(a(i), sc); i += 1 }
           ok
         })
       }
       o.items.foreach { sub =>
-        val c = descend(sub)
+        val c = enterD(sub, descend(sub))
         val skip = o.prefixItems.length
-        arrChecks += (a => {
+        arrChecks += ((a, sc) => {
           var i = skip; var ok = true
-          while (ok && i < a.length) { ok = c(a(i)); i += 1 }
+          while (ok && i < a.length) { ok = c(a(i), sc); i += 1 }
           ok
         })
       }
       o.contains.foreach { sub =>
-        val c = descend(sub)
+        val c = enterD(sub, descend(sub))
         val lo = o.minContains.getOrElse(1L)
         val hi = o.maxContains
-        arrChecks += (a => {
-          val n = a.count(c)
+        arrChecks += ((a, sc) => {
+          val n = a.count(c(_, sc))
           n >= lo && hi.forall(n <= _)
         })
       }
       val arrOnly = arrChecks.result()
-      if (arrOnly.nonEmpty) cs += {
-        case JArr(a) => arrOnly.forall(_(a))
+      if (arrOnly.nonEmpty) cs += { (v, sc) => v match {
+        case JArr(a) => arrOnly.forall(_(a, sc))
         case _ => true
-      }
+      } }
 
       // ---- annotation-flow keywords ---------------------------------------
       o.unevaluatedProperties.foreach { u =>
-        val uc = descend(u)
+        val uc = enterD(u, descend(u))
         val ev = evCollector(o, includeSelf = false, Nil, sp)
-        cs += {
+        cs += { (v, sc) => v match {
           case ob: JObj =>
-            val e = ev(ob)
-            ob.fields.forall { case (k, pv) => e.contains(k) || uc(pv) }
+            val e = ev(ob, sc)
+            ob.fields.forall { case (k, pv) => e.contains(k) || uc(pv, sc) }
           case _ => true
-        }
+        } }
       }
       o.unevaluatedItems.foreach { u =>
-        val uc = descend(u)
+        val uc = enterD(u, descend(u))
         val cov = itemCovCollector(o, includeSelf = false, Nil, sp)
-        cs += {
-          case v @ JArr(a) =>
-            val (allCov, prefix, contains) = cov(v)
+        cs += { (v, sc) => v match {
+          case jv @ JArr(a) =>
+            val (allCov, prefix, contains) = cov(jv, sc)
             allCov || a.zipWithIndex.forall { case (x, i) =>
-              i < prefix || contains.exists(p => p(x)) || uc(x)
+              i < prefix || contains.exists(p => p(x, sc)) || uc(x, sc)
             }
           case _ => true
-        }
+        } }
       }
 
       // ---- combinators (same-value edges) ---------------------------------
-      o.allOf.foreach(m => cs += same(m, sp))
+      o.allOf.foreach(m => cs += enterD(m, same(m, sp)))
       if (o.anyOf.nonEmpty) {
-        val bs = o.anyOf.map(same(_, sp))
-        cs += (v => bs.exists(_(v)))
+        val bs = o.anyOf.map(m => enterD(m, same(m, sp)))
+        cs += ((v, sc) => bs.exists(_(v, sc)))
       }
       if (o.oneOf.nonEmpty) {
-        val bs = o.oneOf.map(same(_, sp))
-        cs += { v =>
+        val bs = o.oneOf.map(m => enterD(m, same(m, sp)))
+        cs += { (v, sc) =>
           var n = 0; var i = 0
-          while (n < 2 && i < bs.length) { if (bs(i)(v)) n += 1; i += 1 }
+          while (n < 2 && i < bs.length) { if (bs(i)(v, sc)) n += 1; i += 1 }
           n == 1
         }
       }
-      o.not.foreach { n => val c = same(n, sp); cs += (v => !c(v)) }
+      o.not.foreach { n => val c = enterD(n, same(n, sp)); cs += ((v, sc) => !c(v, sc)) }
       o.ifSpec.foreach { i =>
-        val ci = same(i, sp)
-        val ct = o.thenSpec.map(same(_, sp)).getOrElse(True)
-        val ce = o.elseSpec.map(same(_, sp)).getOrElse(True)
-        cs += (v => if (ci(v)) ct(v) else ce(v))
+        val ci = enterD(i, same(i, sp))
+        val ct = o.thenSpec.map(t => enterD(t, same(t, sp))).getOrElse(TrueD)
+        val ce = o.elseSpec.map(e => enterD(e, same(e, sp))).getOrElse(TrueD)
+        cs += ((v, sc) => if (ci(v, sc)) ct(v, sc) else ce(v, sc))
       }
 
       val all = cs.result().toArray
       all.length match {
-        case 0 => True
+        case 0 => TrueD
         case 1 => all(0)
-        case _ => v => {
+        case _ => (v, sc) => {
           var i = 0; var ok = true
-          while (ok && i < all.length) { ok = all(i)(v); i += 1 }
+          while (ok && i < all.length) { ok = all(i)(v, sc); i += 1 }
           ok
         }
       }

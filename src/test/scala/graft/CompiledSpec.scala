@@ -48,18 +48,20 @@ class CompiledSpec extends AnyFunSuite {
     assert(compiledCases > 200) // the fast path must cover the bulk of the corpus
   }
 
-  test("dynamic-scope schemas fall back to the tree-walk; unevaluated* compile") {
+  test("unevaluated* and dynamic-scope refs compile; verdicts match the tree-walk") {
     for (json <- Seq(
-      """{"$dynamicRef": "#x", "$defs": {"a": {"$dynamicAnchor": "x"}}}""",
-      """{"$recursiveRef": "#", "$recursiveAnchor": true}""")) {
-      val p = Interp.prepare(Spec.parseJson(json))
-      assert(Compiled.compile(p.registry, p.entry).isEmpty, json)
-    }
-    for (json <- Seq(
+      """{"$dynamicRef": "#x", "$defs": {"a": {"$dynamicAnchor": "x", "type": "integer"}}}""",
+      """{"$recursiveRef": "#", "$recursiveAnchor": true, "type": ["object", "integer"],
+          "additionalProperties": {"$recursiveRef": "#"}}""",
       """{"unevaluatedProperties": false}""",
       """{"properties": {"a": {"unevaluatedItems": false}}}""")) {
       val p = Interp.prepare(Spec.parseJson(json))
-      assert(Compiled.compile(p.registry, p.entry).nonEmpty, json)
+      val c = Compiled.compile(p.registry, p.entry)
+      assert(c.nonEmpty, json)
+      for (inst <- Seq("5", """"s"""", """{"a": [1]}""", """{"x": {"y": 3}}""", "[1, 2]")) {
+        val v = JsonValue.parse(inst)
+        assert(c.get(v) == p.isValidInterp(v), s"$json / $inst")
+      }
     }
   }
 
