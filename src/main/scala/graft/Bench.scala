@@ -75,6 +75,10 @@ object Bench {
         col("_st.rms_dbfs") > -60.0 && col("_st.clip_frac") < 0.01)
       .where(graft.text.TextOps.tokenCount(col("transcript")) >= 2)
       .withColumn("_fp", graft.text.TextOps.fingerprint(col("transcript")))
+      // the dedup window must NOT shuffle audio payloads: project down to
+      // the columns the rest of the pipeline needs before the exchange
+      .select(col("clip_id"), col("codec"), col("dur_ms"),
+        col("_st.rms_dbfs").as("_rms"), col("_fp"))
     // keep the min clip_id per transcript fingerprint (deterministic)
     val keep = gated
       .withColumn("_rk", row_number().over(
@@ -82,7 +86,7 @@ object Bench {
       .where(col("_rk") === 1)
     keep.groupBy("codec").agg(
       count(lit(1)).as("n"),
-      avg(col("_st.rms_dbfs")).as("avg_rms_dbfs"),
+      avg(col("_rms")).as("avg_rms_dbfs"),
       avg(col("dur_ms")).as("avg_dur_ms"))
       .count()
   }

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** Connected components over a near-duplicate pair list — turns pairwise
   * dedup output (`minhashNearDups` / `ngramJaccardPairs` / `simhashNearDups`)
@@ -31,13 +31,64 @@ object Components {
     * are compared with `<`, so mixed-type ids must share one column type.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 25,
+                          localThreshold: Long = 1L << 20): DataFrame = {
     // Undirected edge list, both orientations, no self-loops.
     val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // Adaptive small-input path (AQE-spirit): the alternating-star loop
+    // costs ~4 scheduled jobs per round, which dominates when the edge
+    // list is tiny relative to the cluster. Near-dup edge lists are
+    // usually orders of magnitude smaller than the corpus, so below the
+    // threshold union-find on the driver is both exact and faster; the
+    // shuffle-parallel loop below remains the path for big graphs.
+    val idType = e0.schema.fields(0).dataType
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case LongType => Some(Ordering.by(_.asInstanceOf[java.lang.Long].longValue))
+      case IntegerType => Some(Ordering.by(_.asInstanceOf[java.lang.Integer].intValue))
+      case org.apache.spark.sql.types.StringType => Some(Ordering.by(_.asInstanceOf[String]))
+      case _ => None // other id types: distributed path only
+    }
+    val nEdges = e0.count()
+    if (nEdges > 0 && nEdges <= localThreshold && localOrd.nonEmpty) {
+      implicit val ord: Ordering[Any] = localOrd.get
+      val spark = pairs.sparkSession
+      val edges = e0.collect().map(r => (r.get(0), r.get(1)))
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      val rank = scala.collection.mutable.HashMap[Any, Int]().withDefaultValue(0)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (rank(ra) < rank(rb)) parent(ra) = rb
+          else if (rank(ra) > rank(rb)) parent(rb) = ra
+          else { parent(rb) = ra; rank(ra) += 1 }
+        }
+      }
+      // normalize: component = min id (same contract as the distributed path)
+      val roots = parent.keys.map(k => k -> find(k)).toVector
+      val minOf = roots.groupBy(_._2).map { case (r, kv) => r -> kv.map(_._1).min }
+      val rows = roots.map { case (k, r) =>
+        org.apache.spark.sql.Row(k, minOf(r))
+      }
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+      e0.unpersist(false)
+      return out.localCheckpoint(true)
+    }
 
     // large-star: for each u over the SYMMETRIZED neighborhood,
     // m = min(N(u) ∪ {u}); emit (v, m) for v > u — hooks every larger

@@ -25,9 +25,17 @@ class ComponentsSpec extends AnyFunSuite {
     roots.map { case (k, r) => k -> minOf(r) }
   }
 
-  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Components.connectedComponents(pairs.toDF("id_a", "id_b"))
+  /** Runs BOTH the adaptive local path and the distributed alternating-star
+    * path (localThreshold = 0 forces the latter) and asserts they agree. */
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = pairs.toDF("id_a", "id_b")
+    val local = Components.connectedComponents(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connectedComponents(df, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "local union-find and distributed star paths disagree")
+    local
+  }
 
   test("path graph collapses to one component (exercises multiple rounds)") {
     val path = (1L until 64L).map(i => (i, i + 1))
@@ -53,11 +61,14 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
-  test("string ids work and every endpoint appears exactly once") {
+  test("string ids work and every endpoint appears exactly once (both paths)") {
     val df = Seq(("d1", "d2"), ("d2", "d3"), ("x", "y")).toDF("id_a", "id_b")
-    val got = Components.connectedComponents(df).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1", "x" -> "x", "y" -> "x"))
+    val want = Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1", "x" -> "x", "y" -> "x")
+    for (thr <- Seq(1L << 20, 0L)) {
+      val got = Components.connectedComponents(df, localThreshold = thr).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"threshold=$thr")
+    }
   }
 
   test("empty pair list yields empty mapping") {
