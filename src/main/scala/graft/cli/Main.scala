@@ -81,9 +81,11 @@ object Main {
         if (args.length < 2) { System.err.println("usage: check <spec.json> [--output list] <instance.json>..."); sys.exit(2) }
         val listMode = args.contains("--output") &&
           args.lift(args.indexOf("--output") + 1).contains("list")
+        val assertFormats = args.contains("--assert-formats")
         val files = {
-          val a = args.drop(1)
-          if (listMode) { val i = a.indexOf("--output"); a.patch(i, Nil, 2) } else a
+          var a = args.drop(1).filterNot(_ == "--assert-formats")
+          if (listMode) { val i = a.indexOf("--output"); a = a.patch(i, Nil, 2) }
+          a
         }
         def record(f: String, ok: Boolean, errs: Vector[Interp.VError]): String = {
           val errJson = JArr(errs.map(e => JObj(Vector(
@@ -94,7 +96,7 @@ object Main {
             "instance" -> JStr(f), "valid" -> JBool(ok),
           ) ++ (if (ok) Vector() else Vector("errors" -> (errJson: JsonValue)))))
         }
-        val prepared = Interp.prepare(Spec.parse(doc))
+        val prepared = Interp.prepare(Spec.parse(doc), assertFormats)
         var anyInvalid = false
         files.foreach { f =>
           val inst =

@@ -139,4 +139,82 @@ object Formats {
     case "regex" => Some(graft.functions.exprs.regex_valid(c))
     case _ => None
   }
+
+  // ---- scala-side predicates (single-document validation) ---------------
+
+  private def dateValidS(s: String): Boolean = {
+    val y = s.substring(0, 4).toInt
+    val m = s.substring(5, 7).toInt
+    val d = s.substring(8, 10).toInt
+    val leap = (y % 4 == 0 && y % 100 != 0) || (y % 400 == 0)
+    val dim = m match {
+      case 1 | 3 | 5 | 7 | 8 | 10 | 12 => 31
+      case 4 | 6 | 9 | 11 => 30
+      case _ => if (leap) 29 else 28
+    }
+    m >= 1 && m <= 12 && d >= 1 && d <= dim
+  }
+
+  private def timeValidS(s: String): Boolean = {
+    val hh = s.substring(0, 2).toInt
+    val mm = s.substring(3, 5).toInt
+    val ss = s.substring(6, 8).toInt
+    val offM = java.util.regex.Pattern.compile("([zZ]|[+-][0-9]{2}:[0-9]{2})$").matcher(s)
+    if (!offM.find()) return false
+    val off = offM.group(1)
+    val offMin =
+      if (off.equalsIgnoreCase("z")) 0
+      else {
+        val sign = if (off.charAt(0) == '-') -1 else 1
+        sign * (off.substring(1, 3).toInt * 60 + off.substring(4, 6).toInt)
+      }
+    val utcMin = ((hh * 60 + mm) - offMin + 24 * 60 * 2) % (24 * 60)
+    ss != 60 || utcMin == 23 * 60 + 59
+  }
+
+  private def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  /** Scala predicate for single-document validation (`Interp`/`Compiled`
+    * with assertFormats) — the SAME regex constants and arithmetic as the
+    * Column form above; equivalence is asserted by the format suite driven
+    * through both engines. `rlike` is find-semantics, so `find()` here. */
+  def scalaPredicate(name: String): Option[String => Boolean] = {
+    def re(r: String): String => Boolean = {
+      val p = java.util.regex.Pattern.compile(r)
+      s => p.matcher(s).find()
+    }
+    name match {
+      case "date" =>
+        val r = re(dateRe); Some(s => s.length == 10 && r(s) && dateValidS(s))
+      case "time" =>
+        val r = re(timeRe); Some(s => r(s) && timeValidS(s))
+      case "date-time" =>
+        val head = re("^[0-9]{4}-[0-9]{2}-[0-9]{2}[tT ].*")
+        val dr = re(dateRe); val tr = re(timeRe)
+        Some { s =>
+          s.length >= 20 && head(s) && {
+            val dp = s.substring(0, 10); val tp = s.substring(11)
+            dr(dp) && dateValidS(dp) && tr(tp) && timeValidS(tp)
+          }
+        }
+      case "duration" => Some(re(durationRe))
+      case "email" => Some(re(emailRe))
+      case "idn-email" => Some(s => graft.functions.GraftFns.idnEmailValid(u8(s)))
+      case "hostname" => Some(re(hostnameRe))
+      case "idn-hostname" => Some(s => graft.functions.GraftFns.idnHostnameValid(u8(s)))
+      case "ipv4" =>
+        val r = re(ipv4Re); Some(s => s.length >= 7 && s.length <= 15 && r(s))
+      case "ipv6" =>
+        val r = re(ipv6Re); Some(s => s.length <= 45 && r(s))
+      case "uuid" =>
+        val r = re(uuidRe); Some(s => s.length == 36 && r(s))
+      case "uri" | "iri" => Some(re(uriRe))
+      case "uri-reference" | "iri-reference" => Some(re(uriRefRe))
+      case "uri-template" => Some(re(uriTemplateRe))
+      case "json-pointer" => Some(re(jsonPointerRe))
+      case "relative-json-pointer" => Some(re(relJsonPointerRe))
+      case "regex" => Some(s => graft.functions.GraftFns.regexValid(u8(s)))
+      case _ => None
+    }
+  }
 }

@@ -44,8 +44,11 @@ object Compiled {
 
   /** None ⇒ use the tree-walk (compile budget exceeded). */
   def compile(registry: Registry, entry: Spec): Option[C] =
+    compile(registry, entry, assertFormats = false)
+
+  def compile(registry: Registry, entry: Spec, assertFormats: Boolean): Option[C] =
     try {
-      val d = new Builder(registry).descend(entry)
+      val d = new Builder(registry, assertFormats).descend(entry)
       val scope0 = entry match {
         case o: Spec.Obj => List(registry.resourceOf(o))
         case _           => List(registry.rootResource)
@@ -59,7 +62,7 @@ object Compiled {
     override def initialValue() = new java.util.ArrayDeque[(AnyRef, AnyRef)]()
   }
 
-  private final class Builder(registry: Registry) {
+  private final class Builder(registry: Registry, assertFormats: Boolean = false) {
     private val memo = new java.util.IdentityHashMap[Spec.Obj, D]()
     private var budget = 20000
 
@@ -368,7 +371,11 @@ object Compiled {
         } }
       }
 
-      if (o.minLength.nonEmpty || o.maxLength.nonEmpty || o.pattern.nonEmpty) {
+      val fmtPred: Option[String => Boolean] =
+        if (assertFormats) o.format.flatMap(graft.compile.Formats.scalaPredicate)
+        else None
+      if (o.minLength.nonEmpty || o.maxLength.nonEmpty || o.pattern.nonEmpty ||
+          fmtPred.nonEmpty) {
         val minL = o.minLength; val maxL = o.maxLength
         val pat: Option[Pattern] = o.pattern.map(p => Pattern.compile(EcmaRegex.translate(p)))
         cs += { (v, _) => v match {
@@ -376,7 +383,7 @@ object Compiled {
             (minL.isEmpty && maxL.isEmpty || {
               val n = s.codePointCount(0, s.length)
               minL.forall(n >= _) && maxL.forall(n <= _)
-            }) && pat.forall(_.matcher(s).find())
+            }) && pat.forall(_.matcher(s).find()) && fmtPred.forall(_(s))
           case _ => true
         } }
       }

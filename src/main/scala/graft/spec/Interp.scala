@@ -19,13 +19,14 @@ object Interp {
     * contentSchema kernel, so the build must not repeat per row). `entry`
     * may be a subschema of `root` (contentSchema: its $refs resolve against
     * the whole document). */
-  final case class Prepared(root: Spec, registry: Registry, entry: Spec)
+  final case class Prepared(root: Spec, registry: Registry, entry: Spec,
+                            assertFormats: Boolean = false)
       extends Serializable {
-    /** Closure-compiled fast path (Compiled.scala); None ⇒ the schema uses
-      * dynamic-scope refs or annotation-flow keywords and verdicts come
-      * from the tree-walk. Transient: recompiled lazily per executor. */
+    /** Closure-compiled fast path (Compiled.scala); None ⇒ compile budget
+      * exceeded and verdicts come from the tree-walk. Transient:
+      * recompiled lazily per executor. */
     @transient private lazy val fast: Option[JsonValue => Boolean] =
-      Compiled.compile(registry, entry)
+      Compiled.compile(registry, entry, assertFormats)
 
     def isValid(v: JsonValue): Boolean = fast match {
       case Some(f) => f(v)
@@ -39,13 +40,19 @@ object Interp {
         case o: Spec.Obj => registry.resourceOf(o)
         case _           => registry.rootResource
       }
-      valid(entry, v, RootCtx(registry, res, List(res)), Nil)
+      valid(entry, v, RootCtx(registry, res, List(res), assertFormats), Nil)
     }
   }
 
-  def prepare(spec: Spec): Prepared = {
+  def prepare(spec: Spec): Prepared = prepare(spec, assertFormats = false)
+
+  /** `assertFormats = true` is the analog of the reference's
+    * `validate_formats(true)` option (`options.rs`): `format` becomes an
+    * assertion in single-document validation too (the table engine asserts
+    * by default; the 2020-12 default for this dialect is annotation). */
+  def prepare(spec: Spec, assertFormats: Boolean): Prepared = {
     val reg = Registry.build(spec)
-    Prepared(spec, reg, spec)
+    Prepared(spec, reg, spec, assertFormats)
   }
 
   /** Prepare a validator rooted at `entry`, a subschema of `root`. */
@@ -53,7 +60,8 @@ object Interp {
     Prepared(root, Registry.build(root), entry)
 
   private final case class RootCtx(registry: Registry, res: Registry.Resource,
-                                   scope: List[Registry.Resource])
+                                   scope: List[Registry.Resource],
+                                   assertFormats: Boolean = false)
 
   /** Resolve against the CURRENT base; returns target + the ctx rebased to
     * the target's resource. Unresolvable → SpecError (never silent-accept). */
@@ -138,7 +146,9 @@ object Interp {
         strCheck(v) { str =>
           s.minLength.forall(codePoints(str) >= _) &&
           s.maxLength.forall(codePoints(str) <= _) &&
-          s.pattern.forall(p => compiled(p).matcher(str).find())
+          s.pattern.forall(p => compiled(p).matcher(str).find()) &&
+          (!ctx.assertFormats || s.format.forall(f =>
+            graft.compile.Formats.scalaPredicate(f).forall(_(str))))
         } &&
         objCheck(v) { o =>
           s.required.forall(r => o.toMap.contains(r)) &&
