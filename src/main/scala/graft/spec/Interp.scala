@@ -369,6 +369,10 @@ object Interp {
             s.maxLength.foreach(m => if (cp > m) emit(ip, sub("maxLength"), s"string is longer than $m code points"))
             s.pattern.foreach(pt => if (!compiled(pt).matcher(str).find())
               emit(ip, sub("pattern"), s"string does not match pattern $pt"))
+            if (p.assertFormats)
+              s.format.foreach(f => graft.compile.Formats.scalaPredicate(f).foreach { pred =>
+                if (!pred(str)) emit(ip, sub("format"), s"string is not a valid $f")
+              })
           case o: JObj =>
             s.required.foreach(r => if (!o.toMap.contains(r))
               emit(ip, sub("required"), s"required property '$r' is missing"))
@@ -472,7 +476,7 @@ object Interp {
 
     if (p.isValid(v)) Vector.empty
     else {
-      walk(p.entry, v, "", "#", RootCtx(p.registry, res, List(res)), Nil)
+      walk(p.entry, v, "", "#", RootCtx(p.registry, res, List(res), p.assertFormats), Nil)
       val r = out.result()
       // an invalid instance must surface at least one error even when the
       // failure lives behind a summarized construct
