@@ -141,25 +141,36 @@ object Compiled {
       }
     }
 
+    /** All (target, resource) pairs a dynamic resolution from `o` can
+      * yield: the static target plus every anchor-bearing resource
+      * (None ⇒ $recursiveRef). */
+    private def dynamicCandidates(o: Spec.Obj, dynRef: Option[String]): Seq[(Spec, Registry.Resource)] = {
+      val baseRes = registry.resourceOf(o)
+      dynRef match {
+        case Some(r) =>
+          val frag = Registry.splitFragment(r)._2
+          val static = registry.resolve(r, baseRes)
+          if (static.isEmpty) throw new SpecError(s"unresolvable $$dynamicRef: $r")
+          static.toSeq ++ registry.resources.values.toSeq
+            .filter(_.dynamicAnchors.contains(frag))
+            .map(res => (res.dynamicAnchors(frag), res))
+        case None =>
+          (baseRes.spec, baseRes) +: registry.resources.values.toSeq
+            .filter(res => Registry.hasRecursiveAnchor(res.spec))
+            .map(res => (res.spec, res))
+      }
+    }
+
     private def dynamicRefD(o: Spec.Obj, r: String): D = {
       val baseRes = registry.resourceOf(o)
-      val frag = Registry.splitFragment(r)._2
-      val static = registry.resolve(r, baseRes)
-      if (static.isEmpty) throw new SpecError(s"unresolvable $$dynamicRef: $r")
-      val anchored = registry.resources.values.toSeq
-        .filter(_.dynamicAnchors.contains(frag))
-        .map(res => (res.dynamicAnchors(frag), res))
       dynamicDispatch(baseRes, sc => registry.resolveDynamic(r, baseRes, sc),
-        static.toSeq ++ anchored)
+        dynamicCandidates(o, Some(r)))
     }
 
     private def recursiveRefD(o: Spec.Obj): D = {
       val baseRes = registry.resourceOf(o)
-      val anchored = registry.resources.values.toSeq
-        .filter(res => Registry.hasRecursiveAnchor(res.spec))
-        .map(res => (res.spec, res))
       dynamicDispatch(baseRes, sc => Some(registry.resolveRecursive(baseRes, sc)),
-        (baseRes.spec, baseRes) +: anchored)
+        dynamicCandidates(o, None))
     }
 
     /** Compiled evaluated-properties collector — mirrors
@@ -201,27 +212,33 @@ object Compiled {
         o.ref.toVector.flatMap { r =>
           registry.resolve(r, oRes).flatMap(t => branch(t._1))
         }
-      // dynamic-scope branches: dispatch both validity and collection
+      // dynamic-scope branches: candidates PRECOMPILED at build time (the
+      // closure is shared across executor threads — no lazy compilation
+      // through the Builder at run time), dispatch looks up by identity
       val dynBranches: Vector[(JObj, List[Registry.Resource]) => Set[String]] =
         (o.dynamicRef.toVector.map { r =>
-          (r, (sc: List[Registry.Resource]) => registry.resolveDynamic(r, oRes, sc))
+          (dynamicCandidates(o, Some(r)),
+            (sc: List[Registry.Resource]) => registry.resolveDynamic(r, oRes, sc))
         } ++ o.recursiveRef.toVector.map { _ =>
-          ("#recursive", (sc: List[Registry.Resource]) => Some(registry.resolveRecursive(oRes, sc)))
-        }).map { case (_, resolveAt) =>
-          // candidates compiled lazily per resolved target identity
-          val vCache = new java.util.IdentityHashMap[AnyRef, (D, EvC)]()
-          (ob: JObj, sc: List[Registry.Resource]) => resolveAt(sc) match {
-            case Some((bo: Spec.Obj, res)) =>
-              var pair = vCache.get(bo: AnyRef)
-              if (pair == null) {
+          (dynamicCandidates(o, None),
+            (sc: List[Registry.Resource]) => Some(registry.resolveRecursive(oRes, sc)))
+        }).map { case (candidates, resolveAt) =>
+          val table = new java.util.IdentityHashMap[AnyRef, (D, EvC)]()
+          candidates.foreach { case (t, res) =>
+            t match {
+              case bo: Spec.Obj if !table.containsKey(bo: AnyRef) =>
                 val vC0 = descend(bo)
                 val vC: D = if (res eq oRes) vC0 else (v2, s2) => vC0(v2, s2 :+ res)
                 val cC0 = evCollector(bo, includeSelf = true, vis, sp)
                 val cC: EvC = if (res eq oRes) cC0 else (o2, s2) => cC0(o2, s2 :+ res)
-                pair = (vC, cC)
-                vCache.put(bo, pair)
-              }
-              if (pair._1(ob, sc)) pair._2(ob, sc) else Set.empty[String]
+                table.put(bo, (vC, cC))
+              case _ => () // boolean targets evaluate nothing
+            }
+          }
+          (ob: JObj, sc: List[Registry.Resource]) => resolveAt(sc) match {
+            case Some((bo: Spec.Obj, _)) =>
+              val pair = table.get(bo: AnyRef)
+              if (pair != null && pair._1(ob, sc)) pair._2(ob, sc) else Set.empty[String]
             case _ => Set.empty[String]
           }
         }
@@ -276,23 +293,29 @@ object Compiled {
         }
       val dynBranches: Vector[CovC] =
         (o.dynamicRef.toVector.map { r =>
-          (sc: List[Registry.Resource]) => registry.resolveDynamic(r, oRes, sc)
+          (dynamicCandidates(o, Some(r)),
+            (sc: List[Registry.Resource]) => registry.resolveDynamic(r, oRes, sc))
         } ++ o.recursiveRef.toVector.map { _ =>
-          (sc: List[Registry.Resource]) => Some(registry.resolveRecursive(oRes, sc))
-        }).map { resolveAt =>
-          val vCache = new java.util.IdentityHashMap[AnyRef, (D, CovC)]()
-          (v: JsonValue, sc: List[Registry.Resource]) => resolveAt(sc) match {
-            case Some((bo: Spec.Obj, res)) =>
-              var pair = vCache.get(bo: AnyRef)
-              if (pair == null) {
+          (dynamicCandidates(o, None),
+            (sc: List[Registry.Resource]) => Some(registry.resolveRecursive(oRes, sc)))
+        }).map { case (candidates, resolveAt) =>
+          val table = new java.util.IdentityHashMap[AnyRef, (D, CovC)]()
+          candidates.foreach { case (t, res) =>
+            t match {
+              case bo: Spec.Obj if !table.containsKey(bo: AnyRef) =>
                 val vC0 = descend(bo)
                 val vC: D = if (res eq oRes) vC0 else (v2, s2) => vC0(v2, s2 :+ res)
                 val cC0 = itemCovCollector(bo, includeSelf = true, vis, sp)
                 val cC: CovC = if (res eq oRes) cC0 else (v2, s2) => cC0(v2, s2 :+ res)
-                pair = (vC, cC)
-                vCache.put(bo, pair)
-              }
-              if (pair._1(v, sc)) pair._2(v, sc) else (false, 0, Vector.empty[D])
+                table.put(bo, (vC, cC))
+              case _ => ()
+            }
+          }
+          (v: JsonValue, sc: List[Registry.Resource]) => resolveAt(sc) match {
+            case Some((bo: Spec.Obj, _)) =>
+              val pair = table.get(bo: AnyRef)
+              if (pair != null && pair._1(v, sc)) pair._2(v, sc)
+              else (false, 0, Vector.empty[D])
             case _ => (false, 0, Vector.empty[D])
           }
         }

@@ -58,6 +58,21 @@ class MetaSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("shared compiled validator is safe under concurrent threads (dynamic dispatch)") {
+    val docs = Seq(res("schema.json"), res("meta/core.json"), res("meta/applicator.json"),
+      JsonValue.parse("""{"type": "object"}"""), JsonValue.parse("""{"type": 123}"""))
+    val want = docs.map(prepared.isValid)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = (1 to 64).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Boolean]] {
+          def call(): Seq[Boolean] = docs.map(prepared.isValid)
+        })
+      }
+      futures.foreach(f => assert(f.get() == want))
+    } finally pool.shutdown()
+  }
+
   test("the meta-schema family validates ITSELF (every document)") {
     assert(prepared.isValid(res("schema.json")))
     metaNames.foreach { n =>
