@@ -320,7 +320,16 @@ object Interp {
     * recursion into allOf members and the active if-branch; the VERDICT
     * authority remains `isValid`). Returns empty iff the instance is
     * valid. Capped at `limit` errors. */
-  def errors(p: Prepared, v: JsonValue, limit: Int = 100): Vector[VError] = {
+  def errors(p: Prepared, v: JsonValue, limit: Int = 100): Vector[VError] =
+    errors(p, v, limit, masked = false)
+
+  /** `masked = true` is the analog of the reference's
+    * `ValidationError::masked` (`error.rs`): messages carry NO instance
+    * data (values and offending property names are redacted) so errors
+    * can be logged/shipped without leaking row contents; paths remain. */
+  def errors(p: Prepared, v: JsonValue, limit: Int, masked: Boolean): Vector[VError] = {
+    def shv(x: => String): String = if (masked) "value" else x
+    def shk(k: => String): String = if (masked) "<redacted>" else s"'$k'"
     val out = Vector.newBuilder[VError]
     var n = 0
     val res = p.entry match {
@@ -352,17 +361,17 @@ object Interp {
             emit(ip, sub("type"), s"${value.jsonType.name} is not of type ${ts.map(_.name).mkString("/")}")
         }
         s.const.foreach(c => if (!JsonValue.equal(c, value))
-          emit(ip, sub("const"), s"${JsonValue.render(value).take(60)} does not equal the const"))
+          emit(ip, sub("const"), s"${shv(JsonValue.render(value).take(60))} does not equal the const"))
         s.enumVals.foreach(es => if (!es.exists(JsonValue.equal(_, value)))
-          emit(ip, sub("enum"), s"${JsonValue.render(value).take(60)} is not one of the enum values"))
+          emit(ip, sub("enum"), s"${shv(JsonValue.render(value).take(60))} is not one of the enum values"))
         value match {
           case JNum(num) =>
-            s.minimum.foreach(m => if (num < m) emit(ip, sub("minimum"), s"$num is less than the minimum of $m"))
-            s.maximum.foreach(m => if (num > m) emit(ip, sub("maximum"), s"$num is greater than the maximum of $m"))
-            s.exclusiveMinimum.foreach(m => if (num <= m) emit(ip, sub("exclusiveMinimum"), s"$num is not greater than $m"))
-            s.exclusiveMaximum.foreach(m => if (num >= m) emit(ip, sub("exclusiveMaximum"), s"$num is not less than $m"))
+            s.minimum.foreach(m => if (num < m) emit(ip, sub("minimum"), s"${shv(num.toString)} is less than the minimum of $m"))
+            s.maximum.foreach(m => if (num > m) emit(ip, sub("maximum"), s"${shv(num.toString)} is greater than the maximum of $m"))
+            s.exclusiveMinimum.foreach(m => if (num <= m) emit(ip, sub("exclusiveMinimum"), s"${shv(num.toString)} is not greater than $m"))
+            s.exclusiveMaximum.foreach(m => if (num >= m) emit(ip, sub("exclusiveMaximum"), s"${shv(num.toString)} is not less than $m"))
             s.multipleOf.foreach(m => if ((num remainder m).signum != 0)
-              emit(ip, sub("multipleOf"), s"$num is not a multiple of $m"))
+              emit(ip, sub("multipleOf"), s"${shv(num.toString)} is not a multiple of $m"))
           case JStr(str) =>
             val cp = codePoints(str)
             s.minLength.foreach(m => if (cp < m) emit(ip, sub("minLength"), s"string is shorter than $m code points"))
@@ -398,7 +407,7 @@ object Interp {
               o.fields.foreach { case (k, pv) =>
                 if (!names.contains(k) && !pats.exists(_.matcher(k).find()) && !okV(ap, pv)) {
                   if (ap == Spec.Reject)
-                    emit(s"$ip/$k", sub("additionalProperties"), s"additional property '$k' is not allowed")
+                    emit(s"$ip/$k", sub("additionalProperties"), s"additional property ${shk(k)} is not allowed")
                   else walk(ap, pv, s"$ip/$k", sub("additionalProperties"), c2, Nil)
                 }
               }
@@ -406,7 +415,7 @@ object Interp {
             s.propertyNames.foreach { pn =>
               o.fields.foreach { case (k, _) =>
                 if (!okV(pn, JStr(k)))
-                  emit(ip, sub("propertyNames"), s"property name '$k' is invalid")
+                  emit(ip, sub("propertyNames"), s"property name ${shk(k)} is invalid")
               }
             }
             s.dependentRequired.foreach { case (k, deps) =>
@@ -421,7 +430,7 @@ object Interp {
               val ev = evaluatedProps(s, o, c2, st, includeSelfUneval = false)
               o.fields.foreach { case (k, pv) =>
                 if (!ev.contains(k) && !okV(u, pv))
-                  emit(s"$ip/$k", sub("unevaluatedProperties"), s"unevaluated property '$k' is not allowed")
+                  emit(s"$ip/$k", sub("unevaluatedProperties"), s"unevaluated property ${shk(k)} is not allowed")
               }
             }
           case JArr(a) =>

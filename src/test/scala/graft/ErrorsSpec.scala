@@ -62,6 +62,21 @@ class ErrorsSpec extends AnyFunSuite {
     assert(e.head.message.contains("less than the minimum of 0"))
   }
 
+  test("masked errors redact instance data but keep paths (error.rs masked analog)") {
+    val p = Interp.prepare(Spec.parseJson(
+      """{"properties":{"ssn":{"maximum":100}},"additionalProperties":false}"""))
+    val doc = JsonValue.parse("""{"ssn": 999, "secret-key": 1}""")
+    val open = Interp.errors(p, doc)
+    val masked = Interp.errors(p, doc, 100, masked = true)
+    assert(open.exists(_.message.contains("999")))
+    assert(open.exists(_.message.contains("'secret-key'")))
+    assert(!masked.exists(_.message.contains("999")))
+    assert(!masked.exists(_.message.contains("secret-key")))
+    // same failures at the same paths, only the rendering differs
+    assert(open.map(e => (e.instancePath, e.schemaPath)) ==
+      masked.map(e => (e.instancePath, e.schemaPath)))
+  }
+
   test("every invalid official-suite case yields at least one error; valid cases none") {
     var checked = 0
     for (f <- Seq("object.json", "array.json", "combinators.json", "numeric.json",
