@@ -70,6 +70,10 @@ final case class CompileOptions(
       * engine is a data-VALIDATION engine so it asserts by default —
       * set false for strict official-suite conformance. */
     validateContent: Boolean = true,
+    /** redact instance values from violation MESSAGES (paths remain) —
+      * the engine-side analog of `ValidationError::masked` (`error.rs`);
+      * for shipping violation rows without leaking row contents. */
+    maskedErrors: Boolean = false,
     /** custom keyword registry: keyword name → implementation; analog of
       * `with_keyword` (`options.rs:438`). Unregistered unknown keywords
       * stay annotation-only. */
@@ -195,6 +199,11 @@ object SpecCompiler {
     case _ => false
   }
 
+  /** Masked-aware rendering: instance values become a placeholder when
+    * CompileOptions.maskedErrors is set. */
+  def renderValue(c: Column, dt: DataType, masked: Boolean): Column =
+    if (masked) lit("value") else renderValue(c, dt)
+
   /** JSON value rendering for error messages (close to serde_json). */
   def renderValue(c: Column, dt: DataType): Column = dt match {
     case StringType => when(c.isNull, lit("null")).otherwise(concat(lit("\""), c, lit("\"")))
@@ -258,7 +267,8 @@ object SpecCompiler {
       case Spec.Accept => Vector.empty
       case Spec.Reject =>
         Vector(Check("false", sp, t.path, 0, lit(false),
-          concat(lit("False schema does not allow "), renderValue(t.col, t.dtype))))
+          concat(lit("False schema does not allow "),
+            renderValue(t.col, t.dtype, ctx.opts.maskedErrors))))
       case s: Spec.Obj => compileObj(s, t, sp, ctx)
     }
 
@@ -270,7 +280,7 @@ object SpecCompiler {
     def add(kw: String, pred: Column, msg: Column): Unit =
       if (!isTrueLit(pred))
         out += Check(kw, s"$sp/$kw", t.path, priority.getOrElse(kw, 49), pred, msg)
-    def rendered: Column = renderValue(c, dt)
+    def rendered: Column = renderValue(c, dt, ctx.opts.maskedErrors)
     // annotation sources (`evaluation.rs:461-494`): collected regardless of
     // whether the keyword also asserts in this engine
     def annotate(kw: String, v: String, applies: Column): Unit =
@@ -556,7 +566,7 @@ object SpecCompiler {
     val c = t.col
     def field(name: String): Option[StructField] = st.fields.find(_.name == name)
     def fieldCol(name: String): Column = c.getField(name)
-    def rendered: Column = renderValue(c, t.dtype)
+    def rendered: Column = renderValue(c, t.dtype, ctx.opts.maskedErrors)
     def add(kw: String, pred: Column, msg: Column): Unit =
       if (!isTrueLit(pred))
         out += Check(kw, s"$sp/$kw", t.path, priority.getOrElse(kw, 49), pred, msg)
@@ -727,7 +737,7 @@ object SpecCompiler {
   private def compileMapObj(s: Spec.Obj, t: Target, vt: DataType, sp: String,
                             ctx: Ctx, out: scala.collection.mutable.Builder[Check, Vector[Check]]): Unit = {
     val c = t.col
-    def rendered: Column = renderValue(c, t.dtype)
+    def rendered: Column = renderValue(c, t.dtype, ctx.opts.maskedErrors)
     def add(kw: String, pred: Column, msg: Column): Unit =
       if (!isTrueLit(pred))
         out += Check(kw, s"$sp/$kw", t.path, priority.getOrElse(kw, 49), pred, msg)
@@ -793,7 +803,7 @@ object SpecCompiler {
   private def compileArray(s: Spec.Obj, t: Target, et: DataType, sp: String,
                            ctx: Ctx, out: scala.collection.mutable.Builder[Check, Vector[Check]]): Unit = {
     val c = t.col
-    def rendered: Column = renderValue(c, t.dtype)
+    def rendered: Column = renderValue(c, t.dtype, ctx.opts.maskedErrors)
     def add(kw: String, pred: Column, msg: Column): Unit =
       if (!isTrueLit(pred))
         out += Check(kw, s"$sp/$kw", t.path, priority.getOrElse(kw, 49), pred, msg)

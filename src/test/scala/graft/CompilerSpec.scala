@@ -183,4 +183,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(v.map(_.getAs[Long]("rows")).sum == 7)
     assert(v.map(_.getAs[Long]("invalid_rows")).sum == 6)
   }
+
+  test("maskedErrors redacts instance values from violation messages") {
+    import spark.implicits._
+    val df = Seq((1L, "supersecret", 9999.0)).toDF("id", "name", "price")
+    val spec = """{"properties":{"name":{"maxLength":3},"price":{"maximum":100}}}"""
+    val open = Validation.compile(spec, df.schema)
+      .violations(df, Seq("id")).collect().map(_.getAs[String]("message"))
+    val masked = Validation.compile(spec, df.schema,
+        graft.compile.CompileOptions(maskedErrors = true))
+      .violations(df, Seq("id")).collect().map(_.getAs[String]("message"))
+    assert(open.exists(_.contains("supersecret")) && open.exists(_.contains("9999")))
+    assert(masked.nonEmpty && masked.length == open.length)
+    assert(!masked.exists(m => m.contains("supersecret") || m.contains("9999")), masked.mkString("|"))
+  }
 }
