@@ -136,20 +136,23 @@ object Main {
       System.err.println(s"usage: $verb <table.parquet> <spec.json> ...")
       sys.exit(2)
     }
+    val masked = args.contains("--masked")
+    val argv = args.filterNot(_ == "--masked")
     val spark = sparkSession()
     try {
-      val df = spark.read.parquet(args(0))
-      val plan = Validation.compile(readFile(args(1)), df.schema)
+      val df = spark.read.parquet(argv(0))
+      val plan = Validation.compile(readFile(argv(1)), df.schema,
+        graft.compile.CompileOptions(maskedErrors = masked))
       verb match {
         case "evaluate" =>
-          val fmt = args.lift(2).getOrElse("list")
-          val n = args.lift(3).map(_.toInt).getOrElse(10)
+          val fmt = argv.lift(2).getOrElse("list")
+          val n = argv.lift(3).map(_.toInt).getOrElse(10)
           df.select(org.apache.spark.sql.functions.to_json(plan.outputV1(fmt)).as("output"))
             .show(n, truncate = false)
           spark.stop(); sys.exit(0)
         case _ => // validate
-          val outDir = args.lift(2)
-          val keyCol = args.lift(3).getOrElse(df.columns.head)
+          val outDir = argv.lift(2)
+          val keyCol = argv.lift(3).getOrElse(df.columns.head)
           val verdicts = plan.verdicts(df).orderBy("partition_id")
           println("== per-partition verdicts ==")
           verdicts.show(100, truncate = false)
