@@ -113,4 +113,42 @@ class AnnSpec extends AnyFunSuite {
     assert(expected.subsetOf(lsh), lsh.toString)
     assert(lsh.subsetOf(exact)) // LSH never invents pairs (exact verify)
   }
+
+  test("derived LSH params hit the recall target in the 0.4-0.7 regime") {
+    // S-curve sanity at the thresholds the r02 defaults silently lost
+    // 90% recall on (VERDICT_r02 "What's wrong" #3)
+    for (t <- Seq(0.4, 0.5, 0.7)) {
+      val (bits, bands) = Ann.deriveLshParams(t, targetRecall = 0.95)
+      val er = Ann.expectedRecall(t, bits, bands)
+      assert(er >= 0.95, s"threshold $t: derived ($bits,$bands) expected recall $er")
+      // recall at any similarity ABOVE the threshold is at least as high
+      assert(Ann.expectedRecall(t + 0.1, bits, bands) >= er)
+    }
+  }
+
+  test("cosineNearDups with derived params: measured recall >= 0.9 at threshold 0.4") {
+    // moderate-similarity near-dup pairs (cos 0.4-0.7): random base vectors
+    // plus partners mixed with fresh noise so pair cosines land mid-regime
+    val d = 64
+    val rng = new scala.util.Random(11)
+    def gauss() = rng.nextGaussian()
+    val rand = (0 until 120).map(i => Vec(i.toLong, (0 until d).map(_ => gauss().toFloat)))
+    val planted = (0 until 20).flatMap { p =>
+      val v = (0 until d).map(_ => gauss())
+      val alpha = 0.45 + 0.35 * (p / 19.0) // pair cosine sweeps ~0.4..0.7
+      val noise = (0 until d).map(_ => gauss())
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val w = v.zip(noise).map { case (x, e) => alpha * x + math.sqrt(1 - alpha * alpha) * e * nv / math.sqrt(d) }
+      Seq(Vec(1000L + p * 2, v.map(_.toFloat)), Vec(1001L + p * 2, w.map(_.toFloat)))
+    }
+    val df = (rand ++ planted).toDF()
+    val exact = Ann.cosineNearDupsExact(df, "id", "v", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 15, s"fixture too weak: only ${exact.size} true pairs")
+    val lsh = Ann.cosineNearDups(df, "id", "v", d, threshold = 0.4, targetRecall = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // precision exact (verified survivors)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} pairs")
+  }
 }
