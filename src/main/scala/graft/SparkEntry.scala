@@ -125,6 +125,80 @@ object SparkEntry {
         StructType(Seq(StructField("psi", DoubleType, false), StructField("ks", DoubleType, false))))
     }),
 
+    // -- NESTED keyword families through the driver's hard signal
+    //    (VERDICT_r02 item 3): struct + array columns built inline from
+    //    lineitem, validated with properties/required/items/contains/
+    //    uniqueItems/min-maxItems/minLength/enum/const over nested paths;
+    //    the DuckDB oracle mirrors the per-check counts on the flat
+    //    columns. Reference semantics: keywords/items.rs, contains.rs,
+    //    unique_items.rs.
+    "q_validate_nested" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val nested = li.select(
+        struct(
+          col("l_quantity").as("qty"),
+          array(col("l_returnflag"), col("l_linestatus")).as("flags"),
+          array(col("l_discount"), col("l_tax")).as("rates")).as("item"))
+      val spec = """{
+        "properties": {
+          "item": {
+            "type": "object",
+            "required": ["qty"],
+            "properties": {
+              "qty": {"type": "number", "minimum": 1, "maximum": 50},
+              "flags": {
+                "type": "array", "minItems": 2, "maxItems": 2, "uniqueItems": true,
+                "items": {"type": "string", "minLength": 1, "maxLength": 1,
+                          "enum": ["A", "N", "R", "O", "F"]},
+                "contains": {"const": "O"}
+              },
+              "rates": {
+                "type": "array", "uniqueItems": true,
+                "items": {"minimum": 0, "maximum": 0.06}
+              }
+            }
+          }
+        }
+      }"""
+      Validation.compile(spec, nested.schema)
+        .checkStats(nested)
+        .select(col("keyword"), col("schema_path"), col("violations"))
+        .orderBy(col("schema_path"), col("keyword"))
+    }),
+
+    // -- COMBINATOR families (allOf/anyOf/oneOf/not/if-then-else/$ref)
+    //    through the driver's hard signal (VERDICT_r02 item 3); oracle
+    //    mirrors each combinator's truth table in SQL, including the
+    //    missing-property (NULL) case where both oneOf branches pass.
+    "q_validate_combinators" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val spec = """{
+        "$defs": {
+          "highPriority": {"properties": {"o_orderpriority": {"pattern": "^[1-2]-"}}},
+          "open": {"properties": {"o_orderstatus": {"const": "O"}}}
+        },
+        "allOf": [
+          {"properties": {"o_totalprice": {"minimum": 0}}},
+          {"anyOf": [
+            {"$ref": "#/$defs/highPriority"},
+            {"properties": {"o_totalprice": {"maximum": 150000}}}]},
+          {"properties": {"o_orderpriority": {"minLength": 7, "maxLength": 12}}}
+        ],
+        "oneOf": [
+          {"properties": {"o_totalprice": {"maximum": 100000}}},
+          {"properties": {"o_totalprice": {"minimum": 50000}}}
+        ],
+        "not": {"properties": {"o_orderstatus": {"const": "P"}}},
+        "if": {"$ref": "#/$defs/open"},
+        "then": {"properties": {"o_totalprice": {"exclusiveMinimum": 20000}}},
+        "else": {"properties": {"o_orderpriority": {"minLength": 3}}}
+      }"""
+      Validation.compile(spec, orders.schema)
+        .checkStats(orders)
+        .select(col("keyword"), col("schema_path"), col("violations"))
+        .orderBy(col("schema_path"), col("keyword"))
+    }),
+
     // -- text: token counting ---------------------------------------------
     // n_tokens cast to long: DuckDB len() yields BIGINT and the driver's
     // hash does not normalize int32 vs int64 (CORRECTNESS_r01 dtype red)
@@ -490,6 +564,74 @@ object SparkEntry {
                count(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')) FROM lineitem
         UNION ALL SELECT 'enum', '/properties/l_linestatus/enum',
                count(*) FILTER (WHERE l_linestatus IS NULL OR l_linestatus NOT IN ('O')) FROM lineitem
+      ) ORDER BY schema_path, keyword""",
+
+    "q_validate_nested" -> """
+      SELECT * FROM (
+        SELECT 'contains' AS keyword, '/properties/item/properties/flags/contains' AS schema_path,
+               count(*) FILTER (WHERE NOT (coalesce(l_returnflag = 'O', false)
+                                        OR coalesce(l_linestatus = 'O', false))) AS violations
+        FROM lineitem
+        UNION ALL SELECT 'items', '/properties/item/properties/flags/items',
+               count(*) FILTER (WHERE
+                    (l_returnflag IS NOT NULL AND (length(l_returnflag) <> 1
+                       OR l_returnflag NOT IN ('A','N','R','O','F')))
+                 OR (l_linestatus IS NOT NULL AND (length(l_linestatus) <> 1
+                       OR l_linestatus NOT IN ('A','N','R','O','F')))) FROM lineitem
+        UNION ALL SELECT 'maxItems', '/properties/item/properties/flags/maxItems',
+               count(*) FILTER (WHERE false) FROM lineitem
+        UNION ALL SELECT 'minItems', '/properties/item/properties/flags/minItems',
+               count(*) FILTER (WHERE false) FROM lineitem
+        UNION ALL SELECT 'type', '/properties/item/properties/flags/type',
+               count(*) FILTER (WHERE false) FROM lineitem
+        UNION ALL SELECT 'uniqueItems', '/properties/item/properties/flags/uniqueItems',
+               count(*) FILTER (WHERE l_returnflag = l_linestatus) FROM lineitem
+        UNION ALL SELECT 'maximum', '/properties/item/properties/qty/maximum',
+               count(*) FILTER (WHERE l_quantity IS NOT NULL AND l_quantity > 50) FROM lineitem
+        UNION ALL SELECT 'minimum', '/properties/item/properties/qty/minimum',
+               count(*) FILTER (WHERE l_quantity IS NOT NULL AND l_quantity < 1) FROM lineitem
+        UNION ALL SELECT 'type', '/properties/item/properties/qty/type',
+               count(*) FILTER (WHERE false) FROM lineitem
+        UNION ALL SELECT 'items', '/properties/item/properties/rates/items',
+               count(*) FILTER (WHERE
+                    (l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.06))
+                 OR (l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.06))) FROM lineitem
+        UNION ALL SELECT 'type', '/properties/item/properties/rates/type',
+               count(*) FILTER (WHERE false) FROM lineitem
+        UNION ALL SELECT 'uniqueItems', '/properties/item/properties/rates/uniqueItems',
+               count(*) FILTER (WHERE l_discount = l_tax) FROM lineitem
+        UNION ALL SELECT 'required', '/properties/item/required',
+               count(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem
+        UNION ALL SELECT 'type', '/properties/item/type',
+               count(*) FILTER (WHERE false) FROM lineitem
+      ) ORDER BY schema_path, keyword""",
+
+    "q_validate_combinators" -> """
+      SELECT * FROM (
+        SELECT 'minimum' AS keyword, '/allOf/0/properties/o_totalprice/minimum' AS schema_path,
+               count(*) FILTER (WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) AS violations
+        FROM orders
+        UNION ALL SELECT 'anyOf', '/allOf/1/anyOf',
+               count(*) FILTER (WHERE
+                    (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-2]-'))
+                AND (o_totalprice IS NOT NULL AND o_totalprice > 150000)) FROM orders
+        UNION ALL SELECT 'maxLength', '/allOf/2/properties/o_orderpriority/maxLength',
+               count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                 AND length(o_orderpriority) > 12) FROM orders
+        UNION ALL SELECT 'minLength', '/allOf/2/properties/o_orderpriority/minLength',
+               count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                 AND length(o_orderpriority) < 7) FROM orders
+        UNION ALL SELECT 'if', '/if',
+               count(*) FILTER (WHERE CASE WHEN o_orderstatus IS NULL OR o_orderstatus = 'O'
+                    THEN o_totalprice IS NOT NULL AND NOT (o_totalprice > 20000)
+                    ELSE o_orderpriority IS NOT NULL AND length(o_orderpriority) < 3 END) FROM orders
+        UNION ALL SELECT 'not', '/not',
+               count(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus = 'P') FROM orders
+        UNION ALL SELECT 'oneOf', '/oneOf',
+               count(*) FILTER (WHERE
+                    (CASE WHEN o_totalprice IS NULL OR o_totalprice <= 100000 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice IS NULL OR o_totalprice >= 50000 THEN 1 ELSE 0 END) <> 1)
+        FROM orders
       ) ORDER BY schema_path, keyword""",
 
     "q_verdict_orders" -> """
