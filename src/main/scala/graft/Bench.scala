@@ -119,10 +119,38 @@ object Bench {
       .count()
   }
 
+  // ---- host-interference evidence (VERDICT_r02 "What's wrong" #2): the
+  // shared microVM shows CPU-steal windows that made the r02 driver record
+  // unexplainable; the bench JSON now carries loadavg, /proc/stat steal +
+  // iowait fractions over the run, and a no-Spark raw-kernel calibration
+  // before and after — the canonical number defends itself.
+  private def loadavg(): String =
+    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(" ")).getOrElse("n/a")
+
+  /** (total, steal, iowait) jiffies from the aggregate cpu line. */
+  private def cpuTicks(): (Long, Long, Long) =
+    scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L, if (f.length > 4) f(4) else 0L)
+    }.getOrElse((0L, 0L, 0L))
+
+  /** One raw decode+SNR kernel timing at 32 threads (no Spark, no IO) —
+    * the hardware's own speed in this moment, for cross-run comparison
+    * against BENCH_SCALING.md calibration rows. */
+  private def rawKernel32(): Double = {
+    val t = ScalingBench.rawCalibration(Seq(32), total = 96000, reps = 2)
+    t(32)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "200000").toLong
+    val loadBefore = loadavg()
+    val ticks0 = cpuTicks()
+    val rawBefore = rawKernel32()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -136,66 +164,68 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val fixtureExisted =
+      new java.io.File(s"/tmp/graft_bench/clips_n${nClips}_p${cpus.toInt * 4}/_SUCCESS").exists()
     val clipsPath = clipsFixture(spark, nClips, cpus.toInt * 4)
-    // warm the JVM/codegen once with a small slice
-    validateClips(spark, clipsPath) // warmup (reads full set once)
-    // min of two timed runs: the shared microVM shows CPU-steal bursts,
-    // and min-of-reps is the steal-robust estimator (BENCH_SCALING.md)
-    var rows = 0L
-    val clipSec = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      rows = validateClips(spark, clipsPath)
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    val clipsPerSec = rows / clipSec
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
-    results("clips_full_suite") = clipSec
-    status("clips_full_suite") = "ok"
-    results("clips_audio_quality") = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      audioQualityProfile(spark, clipsPath)
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    status("clips_audio_quality") = "ok"
-    results("clips_pipeline") = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      clipsPipeline(spark, clipsPath)
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    status("clips_pipeline") = "ok"
-    // reference headline "Recursive": 40k nested docs, prepared interpreter
-    val recPath = recursiveFixture(spark, 40000, cpus.toInt * 2)
-    validateRecursive(spark, recPath) // warmup
-    results("recursive_dynref_40k") = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      val ok = validateRecursive(spark, recPath)
-      require(ok == 40000L, s"recursive validation regressed: $ok/40000 valid")
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    status("recursive_dynref_40k") = "ok"
     // min over reps: steal-robust estimator on the shared microVM
-    // (BENCH_SCALING.md); a crashing query must NOT report as a fast
-    // time — its status is recorded and the full rep time counts
-    val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t = System.nanoTime()
-        try { fn(spark, sfDir).count(); status(name) = "ok" }
+    // (BENCH_SCALING.md); ALL rep times are recorded in the JSON so a
+    // slow canonical number is distinguishable from host interference
+    def timed(name: String, reps: Int)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { f; status(name) = "ok" }
         catch { case e: Throwable =>
           status(name) = s"error:${e.getClass.getSimpleName}"
           System.err.println(s"[bench] $name failed: $e")
         }
-        (System.nanoTime() - t) / 1e9
+        (System.nanoTime() - t0) / 1e9
       }
-      results(name) = times.min
+      repTimes(name) = ts
+      results(name) = ts.min
     }
+
+    // warm the JVM/codegen once (reads full set once)
+    var rows = 0L
+    validateClips(spark, clipsPath)
+    timed("clips_full_suite", 3) { rows = validateClips(spark, clipsPath) }
+    val clipsPerSec = rows / results("clips_full_suite")
+    timed("clips_audio_quality", 2) { audioQualityProfile(spark, clipsPath) }
+    timed("clips_pipeline", 2) { clipsPipeline(spark, clipsPath) }
+    // reference headline "Recursive": 40k nested docs, prepared interpreter
+    val recPath = recursiveFixture(spark, 40000, cpus.toInt * 2)
+    validateRecursive(spark, recPath) // warmup
+    timed("recursive_dynref_40k", 2) {
+      val ok = validateRecursive(spark, recPath)
+      require(ok == 40000L, s"recursive validation regressed: $ok/40000 valid")
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      timed(name, reps) { fn(spark, sfDir).count(); () }
+    }
+
+    val rawAfter = rawKernel32()
+    val loadAfter = loadavg()
+    val ticks1 = cpuTicks()
+    val dTotal = math.max(1L, ticks1._1 - ticks0._1)
+    val stealFrac = (ticks1._2 - ticks0._2).toDouble / dTotal
+    val iowaitFrac = (ticks1._3 - ticks0._3).toDouble / dTotal
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val rp = repTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val st = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val host = f""""host":{"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+      f""""steal_frac":$stealFrac%.4f,"iowait_frac":$iowaitFrac%.4f,""" +
+      f""""raw_kernel32_sec_before":$rawBefore%.3f,"raw_kernel32_sec_after":$rawAfter%.3f,""" +
+      f""""fixture_reused":$fixtureExisted}"""
     val total = results.values.sum
     val nErr = status.values.count(_ != "ok")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"status":$st,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f}""")
     spark.stop()
   }
 }

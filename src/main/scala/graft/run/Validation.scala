@@ -24,12 +24,16 @@ final case class ValidationPlan(checks: Vector[Check],
   /** Per-annotation active condition: the keyword's own applicability gate
     * AND the enclosing schema object's checks all passing — annotations
     * flow only from VALID subschemas (`evaluation.rs:461-494`). */
-  private def annotationActive: Vector[(graft.compile.Annot, Column)] =
+  private def annotationActive: Vector[(graft.compile.Annot, Column)] = {
+    def parent(p: String) = { val i = p.lastIndexOf('/'); if (i <= 0) "" else p.substring(0, i) }
+    // checks indexed by parent path once — O(checks + annotations) at
+    // compile time instead of O(checks x annotations) (VERDICT_r02 #5)
+    lazy val byParent = checks.groupBy(ch => parent(ch.schemaPath))
     annotations.map { a =>
-      def parent(p: String) = { val i = p.lastIndexOf('/'); if (i <= 0) "" else p.substring(0, i) }
-      val siblings = checks.filter(ch => parent(ch.schemaPath) == parent(a.schemaPath))
+      val siblings = byParent.getOrElse(parent(a.schemaPath), Vector.empty)
       a -> siblings.map(_.predicate).foldLeft(a.gate)(_ && _)
     }
+  }
 
   /** Active annotations as an array<struct> column (iter_annotations). */
   def annotationsCol: Column = {
@@ -268,6 +272,9 @@ object Validation {
 
   def compileSpec(spec: Spec, schema: StructType,
                   opts: CompileOptions = CompileOptions()): ValidationPlan = {
+    // vocabulary gate (`vocabularies.rs` analog): unknown REQUIRED
+    // vocabularies refuse the build across every compilation tier
+    graft.spec.Vocabularies.check(spec)
     val (checks, annots) = SpecCompiler.compileRootFull(spec, schema, opts)
     ValidationPlan(checks, annots)
   }

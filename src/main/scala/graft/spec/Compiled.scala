@@ -48,6 +48,7 @@ object Compiled {
 
   def compile(registry: Registry, entry: Spec, assertFormats: Boolean): Option[C] =
     try {
+      Vocabularies.check(entry) // same build-time gate as the other tiers
       val d = new Builder(registry, assertFormats).descend(entry)
       val scope0 = entry match {
         case o: Spec.Obj => List(registry.resourceOf(o))

@@ -51,6 +51,7 @@ object Interp {
     * assertion in single-document validation too (the table engine asserts
     * by default; the 2020-12 default for this dialect is annotation). */
   def prepare(spec: Spec, assertFormats: Boolean): Prepared = {
+    Vocabularies.check(spec) // refuse dialects requiring unknown vocabularies
     val reg = Registry.build(spec)
     Prepared(spec, reg, spec, assertFormats)
   }

@@ -72,6 +72,9 @@ object Spec {
       recursiveAnchor: Boolean = false,
       dynamicRef: Option[String] = None,
       recursiveRef: Option[String] = None,
+      /** `$vocabulary` (meta-schema dialect declaration): uri -> required.
+        * Gated at build time by [[Vocabularies.check]]. */
+      vocabulary: Option[Vector[(String, Boolean)]] = None,
       /** unknown keywords, captured for the custom-keyword registry
         * (`options.rs:438`, `keywords/custom.rs`) and future meta checks;
         * annotation-only unless a CustomKeyword is registered. */
@@ -219,8 +222,15 @@ object Spec {
           case po: JObj => s = s.copy(defs = s.defs ++ po.fields.map { case (p, d) => p -> parse(d) })
           case _ => throw new SpecError("$defs expects an object")
         }
+        case "$vocabulary" => v match {
+          case vo: JObj => s = s.copy(vocabulary = Some(vo.fields.map {
+            case (uri, JBool(b)) => uri -> b
+            case _ => throw new SpecError("$vocabulary values must be booleans")
+          }))
+          case _ => throw new SpecError("$vocabulary expects an object")
+        }
         // annotation/bookkeeping keywords that are NOT custom-keyword slots
-        case "$schema" | "$comment" | "$vocabulary" | "title" | "description" |
+        case "$schema" | "$comment" | "title" | "description" |
              "default" | "examples" | "deprecated" | "readOnly" | "writeOnly" => ()
         case other => // unknown keyword: annotation-only, kept for the registry
           s = s.copy(others = s.others :+ (other -> v))
@@ -249,6 +259,8 @@ object Spec {
       o.ref.foreach(v => fields += ("$ref" -> JStr(v)))
       o.dynamicRef.foreach(v => fields += ("$dynamicRef" -> JStr(v)))
       o.recursiveRef.foreach(v => fields += ("$recursiveRef" -> JStr(v)))
+      o.vocabulary.foreach(vs =>
+        fields += ("$vocabulary" -> JObj(vs.map { case (u, b) => u -> JBool(b) })))
       o.types.foreach { ts =>
         val names = JsonType.all.filter(ts.contains).map(t => JStr(t.name): JsonValue).toVector
         fields += ("type" -> (if (names.length == 1) names.head else JArr(names)))

@@ -222,7 +222,18 @@ object TextOps {
     val inv0 = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     var hotCache: Option[DataFrame] = None
     val inv =
-      if (maxDocFreq <= 0) inv0
+      if (maxDocFreq <= 0) {
+        // contract visibility (VERDICT_r02 #4): the unguarded inverted-index
+        // join is quadratic in the hottest shingle's document frequency —
+        // one stop-phrase shared by d docs contributes d^2/2 candidate
+        // rows. Exact small-scale/oracle runs want the cap off; at corpus
+        // scale pass a finite maxDocFreq (drops are logged, jaccard
+        // becomes a lower bound for pairs sharing a capped shingle).
+        System.err.println("[graft] ngramJaccardPairs: maxDocFreq cap is OFF — candidate " +
+          "generation is quadratic in the hottest shingle's doc frequency; set a finite " +
+          "maxDocFreq for corpus-scale runs")
+        inv0
+      }
       else {
         val hot = inv0.groupBy("g").agg(count(lit(1)).as("df"))
           .where(col("df") > maxDocFreq)

@@ -11,9 +11,9 @@ import graft.spec._
 class CompiledSpec extends AnyFunSuite {
 
   val files = Seq("anchor.json", "array.json", "combinators.json", "conditional.json",
-    "content.json", "content_assert.json", "dynamicref.json", "enum_const.json",
-    "format.json", "numeric.json", "object.json", "recursiveref.json", "ref.json",
-    "ref_advanced.json", "string.json", "type.json", "unevaluated.json")
+    "content.json", "content_assert.json", "dynamicref.json", "ecmascript_regex.json",
+    "enum_const.json", "format.json", "numeric.json", "object.json", "recursiveref.json",
+    "ref.json", "ref_advanced.json", "string.json", "type.json", "unevaluated.json")
 
   /** Files whose expected verdicts depend on format/content ASSERTION —
     * the engine asserts those; the naive interpreter (and therefore the

@@ -79,4 +79,34 @@ class MetaSchemaSpec extends AnyFunSuite {
       assert(prepared.isValid(res(s"meta/$n.json")), n)
     }
   }
+
+  test("vocabulary gate: unknown REQUIRED vocabulary refuses the build at every tier") {
+    // `vocabularies.rs` analog: a dialect requiring an unimplemented
+    // vocabulary must refuse; optional (false) unknown vocabularies pass
+    val requiresUnknown = Spec.parseJson("""{
+      "$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/core": true,
+        "https://example.com/vocab/made-up": true
+      },
+      "type": "object"}""")
+    intercept[SpecError](Interp.prepare(requiresUnknown))
+    intercept[SpecError](Compiled.compile(Registry.build(requiresUnknown), requiresUnknown))
+    intercept[SpecError](graft.run.Validation.compileSpec(requiresUnknown,
+      org.apache.spark.sql.types.StructType(Seq.empty)))
+
+    val optionalUnknown = Spec.parseJson("""{
+      "$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/core": true,
+        "https://example.com/vocab/made-up": false
+      },
+      "type": "object"}""")
+    Interp.prepare(optionalUnknown) // must not throw
+    assert(Vocabularies.unknownRequired(optionalUnknown).isEmpty)
+
+    // the official 2020-12 dialect declares only known vocabularies
+    assert(Vocabularies.unknownRequired(Spec.parse(res("schema.json"))).isEmpty)
+    // $vocabulary round-trips through render (bundle/dereference surface)
+    val rendered = Spec.toJson(requiresUnknown)
+    assert(JsonValue.render(rendered).contains("made-up"))
+  }
 }

@@ -15,7 +15,7 @@ class OfficialSuiteSpec extends AnyFunSuite {
     "object.json", "array.json", "combinators.json", "conditional.json",
     "ref.json", "ref_advanced.json", "anchor.json", "dynamicref.json",
     "recursiveref.json", "format.json", "unevaluated.json", "content.json",
-    "content_assert.json")
+    "content_assert.json", "ecmascript_regex.json")
 
   var skipped = 0
 
