@@ -151,11 +151,151 @@ object Canonical {
     case Spec.Reject => Spec.Reject
     case o: Spec.Obj =>
       val folded = foldAllOf(oneOfDisjoint(pushNotKeyword(recurse(o, annotationsMatter))))
-      if (isContradictory(folded)) Spec.Reject
-      else {
-        val c = constEquivalence(dedupEnum(folded))
-        if (c == Spec.empty) Spec.Accept else c
+      val alg = if (annotationsMatter) folded else anyOfAlgebra(folded, annotationsMatter)
+      alg match {
+        case f: Spec.Obj =>
+          val nf = numericNormalize(f)
+          if (isContradictory(nf)) Spec.Reject
+          else valueSetCollapse(nf, annotationsMatter) match {
+            case v: Spec.Obj =>
+              val c = constEquivalence(dedupEnum(v))
+              if (c == Spec.empty) Spec.Accept else c
+            case other => other
+          }
+        case other => other
       }
+  }
+
+  // ---- numeric leaf normalization (`ir/bound_integer.rs` /
+  // `ir/bound_rational.rs` lite) ----------------------------------------
+
+  /** Over an integer-only leaf, exclusive bounds fold to inclusive ones on
+    * the integer grid (x > m ⟺ x ≥ ⌊m⌋+1; x < m ⟺ x ≤ ⌈m⌉-1) and
+    * fractional inclusive ends snap inward — the reference's BoundInteger
+    * snapping. `integer` beside `number` in a type set adds nothing. */
+  private def numericNormalize(o0: Spec.Obj): Spec.Obj = {
+    var o = o0
+    o = o.copy(types = o.types.map(ts =>
+      if (ts.contains(JsonType.Number) && ts.contains(JsonType.Integer)) ts - JsonType.Integer
+      else ts))
+    // a positive WHOLE divisor admits only whole values: `number` beside
+    // it narrows to `integer` (the corpus's divisor-kind branch spelling)
+    if (o.types.exists(ts => ts == (Set(JsonType.Number): Set[JsonType])) &&
+        o.multipleOf.exists(m => m.signum > 0 && m.isWhole))
+      o = o.copy(types = Some(Set(JsonType.Integer): Set[JsonType]))
+    val intOnly = o.types.exists(ts => ts.nonEmpty && ts.subsetOf(Set(JsonType.Integer): Set[JsonType]))
+    if (intOnly && (o.minimum.nonEmpty || o.maximum.nonEmpty ||
+        o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty)) {
+      def ceil(x: BigDecimal) = x.setScale(0, BigDecimal.RoundingMode.CEILING)
+      def floor(x: BigDecimal) = x.setScale(0, BigDecimal.RoundingMode.FLOOR)
+      val lo = (o.minimum.map(ceil).toSeq ++ o.exclusiveMinimum.map(m => floor(m) + 1))
+        .reduceOption(_ max _)
+      val hi = (o.maximum.map(floor).toSeq ++ o.exclusiveMaximum.map(m => ceil(m) - 1))
+        .reduceOption(_ min _)
+      o = o.copy(minimum = lo, maximum = hi,
+        exclusiveMinimum = None, exclusiveMaximum = None)
+    }
+    // over_integers (`ir/bound_rational.rs` IntegerFold): a fractional
+    // divisor over an integer-only leaf admits exactly the multiples of
+    // its reduced numerator (p/q reduced: integer n with n·q/p whole ⟺
+    // p | n); numerator 1 admits every integer — the keyword vanishes
+    // over_integers (`ir/divisors.rs`): a divisor every integer already
+    // meets (reduced numerator 1) vanishes over an integer-only leaf;
+    // other fractional divisors are KEPT AS WRITTEN — the validator's
+    // modulo reads the spelling (IntegerFold::Unfaithful otherwise)
+    if (intOnly) o.multipleOf.filter(m => vacuousOverIntegers(m) && !m.isWhole)
+      .foreach(_ => o = o.copy(multipleOf = None))
+    // progression snapping (`ir/bound_rational.rs` snap): with a divisor
+    // in force, the admitted values sit on the multiple grid, so each end
+    // snaps inward to the nearest multiple and exclusive ends close
+    val numOnly = o.types.exists(ts => ts.nonEmpty &&
+      ts.subsetOf(Set(JsonType.Number, JsonType.Integer): Set[JsonType]))
+    // (an integer leaf under a FRACTIONAL divisor admits only the grid
+    // points that are also whole — a combined grid this lite snap does
+    // not model, so it leaves those bounds alone)
+    if (numOnly) o.multipleOf.filter(m => m.signum > 0 && (!intOnly || m.isWhole)).foreach { m =>
+      val lo = (o.minimum.map((_, false)).toSeq ++ o.exclusiveMinimum.map((_, true)))
+        .reduceOption((a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2)) a else b)
+      val hi = (o.maximum.map((_, false)).toSeq ++ o.exclusiveMaximum.map((_, true)))
+        .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)
+      val loSnap = lo.map { case (l, lx) =>
+        var first = BigDecimal(l.bigDecimal.divide(m.bigDecimal, 0,
+          java.math.RoundingMode.CEILING)) * m
+        if (lx && first == l) first += m
+        first
+      }
+      val hiSnap = hi.map { case (h, hx) =>
+        var last = BigDecimal(h.bigDecimal.divide(m.bigDecimal, 0,
+          java.math.RoundingMode.FLOOR)) * m
+        if (hx && last == h) last -= m
+        last
+      }
+      o = o.copy(minimum = loSnap.orElse(o.minimum), maximum = hiSnap.orElse(o.maximum),
+        exclusiveMinimum = if (loSnap.nonEmpty) None else o.exclusiveMinimum,
+        exclusiveMaximum = if (hiSnap.nonEmpty) None else o.exclusiveMaximum)
+    }
+    o
+  }
+
+  /** Reduced fraction (numerator, denominator) of a positive decimal. */
+  private def fracOf(x: BigDecimal): (BigInt, BigInt) = {
+    val bd = x.bigDecimal.stripTrailingZeros
+    if (bd.scale <= 0) (BigInt(bd.unscaledValue) * BigInt(10).pow(-bd.scale), BigInt(1))
+    else {
+      val p = BigInt(bd.unscaledValue); val q = BigInt(10).pow(bd.scale)
+      val g = p.gcd(q); (p / g, q / g)
+    }
+  }
+
+  /** Every integer is a multiple of `m` ⟺ m's reduced numerator is 1
+    * (`ir/bound_rational.rs` is_vacuous_over_integers). */
+  private def vacuousOverIntegers(m: BigDecimal): Boolean =
+    m.signum > 0 && fracOf(m)._1 == BigInt(1)
+
+  /** Binary-f64 exactness — the reference's shares_arithmetic notion: a
+    * whole and a fractional divisor (or one f64 cannot hold exactly) take
+    * different modulo paths, so one may not stand for the other. */
+  private def f64Exact(x: BigDecimal): Boolean =
+    try new java.math.BigDecimal(x.toDouble).compareTo(x.bigDecimal) == 0
+    catch { case _: Throwable => false }
+
+  /** Interp-backed value-set filtering (per-kind leaves IR, lite): every
+    * const/enum member is checked against the REST of the schema with the
+    * reference-faithful interpreter; survivors ARE the accepted set, so
+    * the leaf collapses to just them. Full finite domains keep the `type`
+    * spelling the reference emits ([null] → type:null, [false,true] →
+    * type:boolean). Gated off anything the interpreter's verdict does not
+    * fully decide for the engine (refs, format/content assertion modes,
+    * custom keywords, unevaluated annotations). */
+  private def valueSetCollapse(o: Spec.Obj, annotationsMatter: Boolean): Spec = {
+    val hasValues = o.const.nonEmpty || o.enumVals.nonEmpty
+    val eligible = hasValues && !annotationsMatter && !containsRefs(o) &&
+      o.format.isEmpty && o.contentEncoding.isEmpty && o.contentMediaType.isEmpty &&
+      o.contentSchema.isEmpty && o.others.isEmpty && o.defs.isEmpty &&
+      o.unevaluatedProperties.isEmpty && o.unevaluatedItems.isEmpty &&
+      o.id.isEmpty && o.anchor.isEmpty && o.dynamicAnchor.isEmpty && !o.recursiveAnchor
+    if (!eligible) return o
+    val members: Vector[JsonValue] = o.const match {
+      case Some(c) =>
+        if (o.enumVals.forall(vs => vs.exists(JsonValue.equal(_, c)))) Vector(c)
+        else Vector.empty
+      case None => o.enumVals.getOrElse(Vector.empty)
+    }
+    val rest = o.copy(const = None, enumVals = None)
+    val kept =
+      try members.filter(v => Interp.isValid(rest, v))
+      catch { case _: Throwable => return o }
+    if (kept.isEmpty) Spec.Reject
+    else {
+      val ts = kept.map(_.jsonType).toSet
+      val finiteDomain = ts.subsetOf(Set(JsonType.Null, JsonType.Boolean): Set[JsonType]) &&
+        (!ts.contains(JsonType.Boolean) ||
+          (kept.exists(JsonValue.equal(_, JBool(true))) &&
+           kept.exists(JsonValue.equal(_, JBool(false)))))
+      if (finiteDomain) Spec.Obj(types = Some(ts))
+      else if (kept.size == 1) Spec.Obj(const = Some(kept.head))
+      else Spec.Obj(enumVals = Some(kept))
+    }
   }
 
   // ---- negation pushdown (`canonical/negate.rs:65-126` lite) -----------
@@ -199,11 +339,12 @@ object Canonical {
         o.maxItems.map(n => Spec.Obj(types = Some(Set(JsonType.Array)), minItems = Some(n + 1)))
       else if (o.types.nonEmpty && only(o)(_.copy(types = None))) {
         val ts = o.types.get
-        // complement is only expressible when integer/number travel together
-        // (¬integer admits non-integral numbers, which "number" can't encode)
-        if (ts.contains(JsonType.Integer) != ts.contains(JsonType.Number)) None
+        // ¬integer alone admits non-integral numbers, which "number" can't
+        // encode; number WITHOUT integer is fine — number covers integers,
+        // so the complement simply excludes both
+        if (ts.contains(JsonType.Integer) && !ts.contains(JsonType.Number)) None
         else {
-          val comp = JsonType.all.toSet -- ts
+          val comp = JsonType.all.toSet -- expand(ts)
           Some(if (comp.isEmpty) Spec.Reject else Spec.Obj(types = Some(comp)))
         }
       }
@@ -250,14 +391,29 @@ object Canonical {
     case (Spec.Accept, _) => true
     case (_, Spec.Reject) => true
     case (g: Spec.Obj, s: Spec.Obj) if scalarLeaf(g) && scalarLeaf(s) =>
+      // a pure value set carries its members' types implicitly — lets
+      // {type:string} subsume {const:"a"} (covered-branch dropping)
+      val sTypes = s.types.orElse(
+        if (s.const.nonEmpty || s.enumVals.nonEmpty)
+          Some(s.const.map(c => Set(c.jsonType))
+            .getOrElse(s.enumVals.get.map(_.jsonType).toSet))
+        else None)
       val typesOk = g.types.isEmpty ||
-        s.types.exists(st => expand(st).subsetOf(expand(g.types.get)))
+        sTypes.exists(st => expand(st).subsetOf(expand(g.types.get)))
       val boundsOk =
         g.minimum.forall(gm => s.minimum.exists(_ >= gm) || s.exclusiveMinimum.exists(_ >= gm)) &&
         g.exclusiveMinimum.forall(gm => s.exclusiveMinimum.exists(_ >= gm) || s.minimum.exists(_ > gm)) &&
         g.maximum.forall(gm => s.maximum.exists(_ <= gm) || s.exclusiveMaximum.exists(_ <= gm)) &&
         g.exclusiveMaximum.forall(gm => s.exclusiveMaximum.exists(_ <= gm) || s.maximum.exists(_ < gm))
-      val multOk = g.multipleOf.forall(gm => s.multipleOf.exists(sm => (sm remainder gm).signum == 0))
+      val multOk = g.multipleOf.forall(gm =>
+        // same arithmetic kind only (whole vs fractional modulo —
+        // shares_arithmetic): a whole divisor may not stand for a
+        // fractional one even when the rational division is clean
+        s.multipleOf.exists(sm =>
+          gm.isWhole == sm.isWhole && (sm remainder gm).signum == 0) ||
+        // an integer-only leaf satisfies a divisor every integer divides
+        (sTypes.exists(st => st.nonEmpty && st.subsetOf(Set(JsonType.Integer): Set[JsonType])) &&
+          vacuousOverIntegers(gm)))
       val strOk =
         g.minLength.forall(gl => s.minLength.exists(_ >= gl)) &&
         g.maxLength.forall(gl => s.maxLength.exists(_ <= gl)) &&
@@ -368,21 +524,176 @@ object Canonical {
   )
 
   private def simplifyAnyOf(branches: Vector[Spec], annotationsMatter: Boolean): Vector[Spec] = {
-    val live = branches.filter(_ != Spec.Reject)
-    if (branches.nonEmpty && live.isEmpty) Vector(Spec.Reject) // all branches dead
+    val live0 = branches.filter(_ != Spec.Reject)
+    if (branches.nonEmpty && live0.isEmpty) Vector(Spec.Reject) // all branches dead
     // disjunct true ⇒ no constraint — but dropping successful branches
     // destroys their annotations, so only when no unevaluated* in scope
-    else if (live.contains(Spec.Accept) && !annotationsMatter) Vector.empty
-    else if (annotationsMatter) live
+    else if (live0.contains(Spec.Accept) && !annotationsMatter) Vector.empty
+    else if (annotationsMatter) live0
     else {
-      // covered-branch dropping (`algebra.rs:1770+`): a branch subsumed by
-      // a sibling adds nothing to the union (scalar leaves only — they
-      // carry no annotations, so this is safe even near unevaluated*)
-      live.zipWithIndex.filter { case (a, i) =>
-        !live.zipWithIndex.exists { case (b, j) =>
-          j != i && subsumes(b, a) && (!subsumes(a, b) || j < i)
+      // union is associative: splice nested pure-anyOf branches
+      // (`algebra.rs` union flattening)
+      val flat = live0.flatMap {
+        case b: Spec.Obj if b.anyOf.nonEmpty && only(b)(_.copy(anyOf = Vector.empty)) => b.anyOf
+        case b => Vector(b)
+      }
+      val merged = unionMerge(flat)
+      val live = merged.filter(_ != Spec.Reject)
+      if (merged.nonEmpty && live.isEmpty) Vector(Spec.Reject)
+      else if (live.contains(Spec.Accept)) Vector.empty
+      else
+        // covered-branch dropping (`algebra.rs:1770+`): a branch subsumed by
+        // a sibling adds nothing to the union (scalar leaves only — they
+        // carry no annotations, so this is safe even near unevaluated*)
+        live.zipWithIndex.filter { case (a, i) =>
+          !live.zipWithIndex.exists { case (b, j) =>
+            j != i && subsumes(b, a) && (!subsumes(a, b) || j < i)
+          }
+        }.map(_._1)
+    }
+  }
+
+  /** Union folding across anyOf branches (`algebra.rs` union algebra,
+    * lite): value-set branches union their members; full boolean domains
+    * widen into the type set; members a type-only sibling already covers
+    * drop; type-only branches fold to one type list; overlapping numeric
+    * half-lines/intervals of the same type merge. */
+  private def unionMerge(branches: Vector[Spec]): Vector[Spec] = {
+    def valueMembers(o: Spec.Obj): Option[Vector[JsonValue]] =
+      if (only(o)(_.copy(const = None, enumVals = None)))
+        o.const.map(Vector(_)).orElse(o.enumVals)
+      else None
+    def typeOnly(o: Spec.Obj): Option[Set[JsonType]] =
+      if (only(o)(_.copy(types = None))) o.types else None
+    // numeric branch: types ⊆ {number,integer} with only bounds and an
+    // optional shared divisor beside
+    final case class NumBranch(ts: Set[JsonType], m: Option[BigDecimal],
+                               lo: Option[(BigDecimal, Boolean)], hi: Option[(BigDecimal, Boolean)])
+    def numBranch(o: Spec.Obj): Option[NumBranch] =
+      if (only(o)(_.copy(types = None, minimum = None, maximum = None,
+          exclusiveMinimum = None, exclusiveMaximum = None, multipleOf = None)) &&
+          o.types.exists(t => t.nonEmpty && t.subsetOf(Set(JsonType.Number, JsonType.Integer): Set[JsonType])) &&
+          (o.minimum.nonEmpty || o.maximum.nonEmpty ||
+           o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty))
+        Some(NumBranch(o.types.get, o.multipleOf,
+          (o.minimum.map((_, false)).toSeq ++ o.exclusiveMinimum.map((_, true)))
+            .reduceOption((a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2)) a else b),
+          (o.maximum.map((_, false)).toSeq ++ o.exclusiveMaximum.map((_, true)))
+            .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)))
+      else None
+
+    val objs = branches.collect { case o: Spec.Obj => o }
+    if (objs.size != branches.size) return branches // non-Obj members: leave as-is
+
+    var typeSet: Set[JsonType] = objs.flatMap(typeOnly).flatten.toSet
+    var values: Vector[JsonValue] = Vector.empty
+    val nums = scala.collection.mutable.Buffer[NumBranch]()
+    val residual = Vector.newBuilder[Spec]
+    var sawValueBranch = false; var sawNumBranch = false
+    var typeBranches = 0
+    objs.foreach { o =>
+      valueMembers(o) match {
+        case Some(vs) => sawValueBranch = true
+          values = values ++ vs.filterNot(v => values.exists(JsonValue.equal(_, v)))
+        case None => typeOnly(o) match {
+          case Some(_) => typeBranches += 1
+          case None => numBranch(o) match {
+            case Some(nb) => sawNumBranch = true; nums += nb
+            case None => residual += o
+          }
         }
-      }.map(_._1)
+      }
+    }
+    if (!sawValueBranch && !sawNumBranch && typeBranches <= 1)
+      return branches // nothing to fold
+
+    // both booleans present ⇒ the full boolean domain ⇒ type form
+    if (values.exists(JsonValue.equal(_, JBool(true))) &&
+        values.exists(JsonValue.equal(_, JBool(false)))) {
+      typeSet = typeSet + JsonType.Boolean
+      values = values.filterNot(_.isInstanceOf[JBool])
+    }
+    // members a type branch already covers add nothing to the union
+    if (typeSet.nonEmpty)
+      values = values.filterNot(v => typeOk(typeSet, v))
+
+    // overlapping (or grid-adjacent, under a shared divisor / the integer
+    // grid) numeric intervals of a union merge; a full cover is the bare
+    // type (e.g. {max:10} ∪ {min:5} = every number)
+    def canFold(a: NumBranch, b: NumBranch): Boolean = {
+      val loPair = Seq(a.lo, b.lo).flatten
+        .reduceOption((x, y) => if (x._1 > y._1 || (x._1 == y._1 && x._2)) x else y)
+      val hiPair = Seq(a.hi, b.hi).flatten
+        .reduceOption((x, y) => if (x._1 < y._1 || (x._1 == y._1 && x._2)) x else y)
+      (loPair, hiPair) match {
+        case (Some((l, lx)), Some((h, hx))) =>
+          l < h || (l == h && !lx && !hx) || {
+            // after progression snapping the bounds sit on the admitted
+            // grid: a gap of at most one step holds no admitted value
+            val step = a.m.orElse(
+              if (a.ts == (Set(JsonType.Integer): Set[JsonType])) Some(BigDecimal(1)) else None)
+            step.exists(st => !lx && !hx && l <= h + st)
+          }
+        case _ => true
+      }
+    }
+    var mergedAny = true
+    while (mergedAny && nums.size >= 2) {
+      mergedAny = false
+      val pairs = for { i <- nums.indices; j <- nums.indices if i < j } yield (i, j)
+      pairs.find { case (i, j) =>
+        expand(nums(i).ts) == expand(nums(j).ts) && nums(i).m == nums(j).m &&
+          canFold(nums(i), nums(j)) && {
+          // union interval: keep an end only when BOTH branches bound it
+          val a = nums(i); val b = nums(j)
+          val lo = for { x <- a.lo; y <- b.lo }
+            yield if (x._1 < y._1 || (x._1 == y._1 && !x._2)) x else y
+          val hi = for { x <- a.hi; y <- b.hi }
+            yield if (x._1 > y._1 || (x._1 == y._1 && !x._2)) x else y
+          nums(j) = NumBranch(a.ts, a.m, lo, hi); nums.remove(i); true
+        }
+      }.foreach(_ => mergedAny = true)
+    }
+    val numOut: Vector[Spec] = nums.toVector.flatMap { nb =>
+      if (nb.lo.isEmpty && nb.hi.isEmpty && nb.m.isEmpty) {
+        typeSet = typeSet ++ nb.ts; Vector.empty
+      }
+      else Vector(Spec.Obj(types = Some(nb.ts), multipleOf = nb.m,
+        minimum = nb.lo.collect { case (v, false) => v },
+        exclusiveMinimum = nb.lo.collect { case (v, true) => v },
+        maximum = nb.hi.collect { case (v, false) => v },
+        exclusiveMaximum = nb.hi.collect { case (v, true) => v }))
+    }
+    val typeOut: Vector[Spec] =
+      if (typeSet.isEmpty) Vector.empty
+      else Vector(Spec.Obj(types = Some(
+        if (typeSet.contains(JsonType.Number)) typeSet - JsonType.Integer else typeSet)))
+    val valueOut: Vector[Spec] = values match {
+      case Vector() => Vector.empty
+      case Vector(single) => Vector(Spec.Obj(const = Some(single)))
+      case many => Vector(Spec.Obj(enumVals = Some(many)))
+    }
+    typeOut ++ valueOut ++ numOut ++ residual.result()
+  }
+
+  /** Conjunct distribution through a union (`algebra.rs` conjunct rules):
+    * R ∧ (B₁ ∨ B₂) = (R∧B₁) ∨ (R∧B₂) when the residue R is a scalar leaf
+    * — branches that die erase themselves and a sole survivor replaces
+    * the whole disjunction. Also unwraps a singleton anyOf. */
+  private def anyOfAlgebra(o: Spec.Obj, annotationsMatter: Boolean): Spec = {
+    val residue = o.copy(anyOf = Vector.empty)
+    val out =
+      if (o.anyOf.nonEmpty && o.anyOf.size <= 8 && residue != Spec.empty &&
+          scalarLeaf(residue) && residue.const.isEmpty && residue.enumVals.isEmpty &&
+          o.anyOf.forall(_.isInstanceOf[Spec.Obj])) {
+        val dist = o.anyOf.map(b => canon(Spec.Obj(allOf = Vector(residue, b)), annotationsMatter))
+        Spec.Obj(anyOf = simplifyAnyOf(dist, annotationsMatter))
+      } else o
+    out match {
+      case res: Spec.Obj if res.anyOf == Vector(Spec.Reject) => Spec.Reject
+      case res: Spec.Obj if res.anyOf.size == 1 && only(res)(_.copy(anyOf = Vector.empty)) =>
+        res.anyOf.head
+      case res => res
     }
   }
 
@@ -397,6 +708,11 @@ object Canonical {
       case Spec.Reject => keep += Spec.Reject
       case sub: Spec.Obj if sub.allOf.nonEmpty && only(sub)(_.copy(allOf = Vector.empty)) =>
         sub.allOf.foreach(visit) // splice pure nested allOf (conjunction is flat)
+      case sub: Spec.Obj if sub.anyOf.nonEmpty && acc.anyOf.isEmpty &&
+          only(sub)(_.copy(anyOf = Vector.empty)) =>
+        // a pure-disjunction member hoists into the parent's empty anyOf
+        // slot, where anyOfAlgebra can distribute the residue through it
+        acc = acc.copy(anyOf = sub.anyOf)
       case sub: Spec.Obj =>
         mergeInto(acc, sub) match {
           case Some(m2) => acc = m2
@@ -433,10 +749,9 @@ object Canonical {
       // beside them; hoisting them next to the parent's `contains` would
       // activate (tighten) them
       ((b.minContains.nonEmpty || b.maxContains.nonEmpty) && a.contains.nonEmpty) ||
-      b.pattern.nonEmpty && a.pattern.nonEmpty ||  // two patterns: keep both
-      b.format.nonEmpty && a.format.nonEmpty ||
-      b.const.nonEmpty && a.const.nonEmpty ||
-      b.enumVals.nonEmpty && a.enumVals.nonEmpty
+      // differing patterns/formats: keep both as conjuncts
+      b.pattern.nonEmpty && a.pattern.nonEmpty && a.pattern != b.pattern ||
+      b.format.nonEmpty && a.format.nonEmpty && a.format != b.format
     // two multipleOf merge to their exact rational LCM (`divisors.rs`
     // lite): x%a==0 ∧ x%b==0 ⟺ x%lcm(a,b)==0; both operands come from
     // decimal literals, so the LCM has a terminating decimal form
@@ -444,14 +759,31 @@ object Canonical {
       case (Some(x), Some(y)) => lcmRational(x, y).map(Some(_))
       case (x, y) => Some(x.orElse(y))
     }
+    // value sets intersect (`ir/*_leaves.rs` lite): const∧const,
+    // const∧enum and enum∧enum meet as sets; an empty meet is recorded as
+    // an empty enum, which isContradictory rejects
+    def members(o: Spec.Obj): Option[Vector[JsonValue]] =
+      o.const.map(Vector(_)).orElse(o.enumVals)
+    val valuesMerged: (Option[JsonValue], Option[Vector[JsonValue]]) =
+      (members(a), members(b)) match {
+        case (Some(x), Some(y)) =>
+          val inter = x.filter(v => y.exists(JsonValue.equal(_, v)))
+          inter match {
+            case Vector(one) if a.const.nonEmpty || b.const.nonEmpty => (Some(one), None)
+            case vs => (None, Some(vs))
+          }
+        case (Some(_), None) => (a.const, a.enumVals)
+        case (None, Some(_)) => (b.const, b.enumVals)
+        case (None, None) => (None, None)
+      }
     if (bHasUnmergeable || multipleMerged.isEmpty) None
     else Some(a.copy(
       types = (a.types, b.types) match {
         case (Some(x), Some(y)) => Some(intersectTypes(x, y))
         case (x, y) => x.orElse(y)
       },
-      const = a.const.orElse(b.const),
-      enumVals = a.enumVals.orElse(b.enumVals),
+      const = valuesMerged._1,
+      enumVals = valuesMerged._2,
       minimum = maxOf(a.minimum, b.minimum),
       maximum = minOf(a.maximum, b.maximum),
       exclusiveMinimum = maxOf(a.exclusiveMinimum, b.exclusiveMinimum),
@@ -489,8 +821,14 @@ object Canonical {
     val (p1, q1) = frac(a); val (p2, q2) = frac(b)
     val lcmP = p1 / p1.gcd(p2) * p2
     val gcdQ = q1.gcd(q2)
-    try Some(BigDecimal(new java.math.BigDecimal(lcmP.bigInteger)
-      .divide(new java.math.BigDecimal(gcdQ.bigInteger))))
+    try {
+      val lcm = BigDecimal(new java.math.BigDecimal(lcmP.bigInteger)
+        .divide(new java.math.BigDecimal(gcdQ.bigInteger)))
+      // a combined divisor f64 cannot hold exactly is not the divisor the
+      // validator would read — keep the pair as separate conjuncts
+      // (`checked_lcm`, bound_rational.rs:91-105)
+      if (f64Exact(lcm)) Some(lcm) else None
+    }
     catch { case _: ArithmeticException => None }
   }
 
@@ -775,20 +1113,47 @@ object Canonical {
     })
 
   /** `{type:integer, minimum:k, maximum:k}` ≡ `{const:k}`
-    * (`canonical/mod.rs:20-22`); single-value enum ≡ const. */
+    * (`canonical/mod.rs:20-22`); an interval holding exactly ONE multiple
+    * of the divisor ≡ that value (`ir/bound_rational.rs` admit_between /
+    * snap, incl. negative windows and zero); single-value enum ≡ const. */
   private def constEquivalence(o: Spec.Obj): Spec.Obj = {
+    val intOnly = o.types == Some(Set(JsonType.Integer): Set[JsonType])
+    val numOnly = o.types.exists(ts => ts.nonEmpty &&
+      ts.subsetOf(Set(JsonType.Number, JsonType.Integer): Set[JsonType]))
     val fromInterval =
-      if (o.const.isEmpty && o.enumVals.isEmpty &&
-          o.types == Some(Set(JsonType.Integer): Set[JsonType]) &&
+      if (o.const.isEmpty && o.enumVals.isEmpty && intOnly &&
           o.minimum.nonEmpty && o.minimum == o.maximum &&
           o.minimum.exists(_.isWhole) &&
           o.exclusiveMinimum.isEmpty && o.exclusiveMaximum.isEmpty &&
           o.multipleOf.forall(m => o.minimum.exists(v => (v remainder m).signum == 0)))
         Some(JNum(o.minimum.get))
       else None
-    fromInterval match {
+    // interval + multipleOf admitting exactly one value: first multiple at
+    // or above the low end equals the last at or below the high end
+    val fromMultiple =
+      if (fromInterval.isEmpty && o.const.isEmpty && o.enumVals.isEmpty && numOnly)
+        o.multipleOf.filter(m => m.signum > 0 && (!intOnly || m.isWhole)).flatMap { m =>
+          val lo = (o.minimum.map((_, false)).toSeq ++ o.exclusiveMinimum.map((_, true)))
+            .reduceOption((a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2)) a else b)
+          val hi = (o.maximum.map((_, false)).toSeq ++ o.exclusiveMaximum.map((_, true)))
+            .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)
+          (lo, hi) match {
+            case (Some((l, lx)), Some((h, hx))) =>
+              var first = BigDecimal(l.bigDecimal.divide(m.bigDecimal, 0,
+                java.math.RoundingMode.CEILING)) * m
+              if (lx && first == l) first += m
+              var last = BigDecimal(h.bigDecimal.divide(m.bigDecimal, 0,
+                java.math.RoundingMode.FLOOR)) * m
+              if (hx && last == h) last -= m
+              if (first == last && (!intOnly || first.isWhole)) Some(JNum(first)) else None
+            case _ => None
+          }
+        }
+      else None
+    (fromInterval.orElse(fromMultiple)) match {
       case Some(c) => o.copy(const = Some(c), types = None,
-        minimum = None, maximum = None, multipleOf = None)
+        minimum = None, maximum = None, multipleOf = None,
+        exclusiveMinimum = None, exclusiveMaximum = None)
       case None => o.enumVals match {
         case Some(Vector(single)) if o.const.isEmpty =>
           o.copy(const = Some(single), enumVals = None)

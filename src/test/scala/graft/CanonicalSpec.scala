@@ -35,8 +35,9 @@ class CanonicalSpec extends AnyFunSuite {
   }
 
   test("anyOf simplification: Reject branches drop, Accept dominates") {
+    // the sole surviving branch replaces the disjunction (singleton unwrap)
     assert(canon("""{"anyOf":[{"type":"integer","minimum":5,"maximum":3},{"minimum":0}]}""")
-      == Spec.Obj(anyOf = Vector(Spec.Obj(minimum = Some(BigDecimal(0))))))
+      == Spec.Obj(minimum = Some(BigDecimal(0))))
     assert(canon("""{"anyOf":[{"type":"integer","minimum":5,"maximum":3},{"type":"number","minimum":4,"maximum":0}]}""") == Spec.Reject)
     assert(canon("""{"anyOf":[true,{"minimum":0}]}""") == Spec.Accept)
   }
@@ -95,7 +96,8 @@ class CanonicalSpec extends AnyFunSuite {
     // vacuously, so their negation rejects them)
     val g1 = canon("""{"not":{"minimum":5}}""").asInstanceOf[Spec.Obj]
     assert(g1.not.isEmpty && g1.exclusiveMaximum.contains(BigDecimal(5)))
-    assert(g1.types.contains(Set(JsonType.Number, JsonType.Integer): Set[JsonType]))
+    // `integer` beside `number` adds nothing — numericNormalize drops it
+    assert(g1.types.contains(Set(JsonType.Number): Set[JsonType]))
     // double negation through type complement
     val g2 = canon("""{"not":{"not":{"type":"string"}}}""").asInstanceOf[Spec.Obj]
     assert(g2.types.contains(Set(JsonType.String): Set[JsonType]))
@@ -114,13 +116,12 @@ class CanonicalSpec extends AnyFunSuite {
   }
 
   test("anyOf covered-branch dropping (subsumption)") {
-    val g = canon("""{"anyOf":[{"type":"string"},{"type":"string","minLength":2}]}""")
-      .asInstanceOf[Spec.Obj]
-    assert(g.anyOf == Vector(Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]))))
+    // covered branch drops, then the singleton disjunction unwraps
+    assert(canon("""{"anyOf":[{"type":"string"},{"type":"string","minLength":2}]}""")
+      == Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType])))
     // numeric bound subsumption
-    val g2 = canon("""{"anyOf":[{"minimum":0},{"minimum":5,"maximum":9}]}""")
-      .asInstanceOf[Spec.Obj]
-    assert(g2.anyOf.length == 1)
+    assert(canon("""{"anyOf":[{"minimum":0},{"minimum":5,"maximum":9}]}""")
+      == Spec.Obj(minimum = Some(BigDecimal(0))))
     // NOT dropped when sets are incomparable
     val g3 = canon("""{"anyOf":[{"minimum":0},{"maximum":10}]}""").asInstanceOf[Spec.Obj]
     assert(g3.anyOf.length == 2)
@@ -213,10 +214,19 @@ class CanonicalSpec extends AnyFunSuite {
       "properties":{"a":{}},"additionalProperties":false}""") != Spec.Reject)
   }
 
-  test("allOf with combinator members stays as allOf") {
+  test("allOf pure-anyOf member hoists and the conjunct distributes") {
+    // (min 0) ∧ (max 5 ∨ min 10) = [0,5] ∨ [10,∞) — the reference's
+    // conjunct-through-union distribution (algebra.rs)
     val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
       .asInstanceOf[Spec.Obj]
-    assert(got.minimum == Some(BigDecimal(0)))
-    assert(got.allOf.length == 1)
+    assert(got.allOf.isEmpty && got.minimum.isEmpty)
+    assert(got.anyOf.toSet == Set(
+      Spec.Obj(minimum = Some(BigDecimal(0)), maximum = Some(BigDecimal(5))),
+      Spec.Obj(minimum = Some(BigDecimal(10)))))
+    // acceptance preserved on witnesses spanning the pieces
+    val orig = Spec.parseJson("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
+    for (v <- Seq[JsonValue](JNum(BigDecimal(-1)), JNum(BigDecimal(3)),
+        JNum(BigDecimal(7)), JNum(BigDecimal(12)), JStr("x")))
+      assert(Interp.isValid(orig, v) == Interp.isValid(got, v), JsonValue.render(v))
   }
 }
