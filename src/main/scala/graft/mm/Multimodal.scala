@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batch-shaped decode / feature-extract
   * / resize / frame-sample stages.
   *
-  * AUDIO (graft.audio.Pcm) and IMAGE (javax.imageio, pure JDK) decode are
-  * REAL; only the VIDEO kernel is a stub (no container codec — a
-  * deterministic fake header parse, clearly marked below). The Spark-side
-  * plumbing is identical for all three: schema, partition-preserving
-  * `mapPartitions` with an explicit batch shape (the Scala analog of
-  * `mapInPandas`: rows are staged into fixed-size batches, the kernel is
-  * called once per batch, results flat-map back out), and frame sampling
-  * as a generator (posexplode), which multiplies rows without shuffling.
+  * ALL THREE modalities decode for real: AUDIO (graft.audio.Pcm), IMAGE
+  * (javax.imageio, pure JDK), and VIDEO (MJPEG-in-AVI — RIFF container
+  * walk + per-frame JDK JPEG decode, graft.mm.Avi; retires the last
+  * round-2 stub). The Spark-side plumbing is identical for all three:
+  * schema, partition-preserving `mapPartitions` with an explicit batch
+  * shape (the Scala analog of `mapInPandas`: rows are staged into
+  * fixed-size batches, the kernel is called once per batch, results
+  * flat-map back out), and frame sampling as a generator (posexplode),
+  * which multiplies rows without shuffling. `decodeBatchStub` remains
+  * only as the generic fake-payload harness for plumbing tests.
   */
 object Multimodal {
 
@@ -27,12 +29,10 @@ object Multimodal {
                                    height: Int, n_frames: Int,
                                    mean_luma: Double, feature: Array[Float])
 
-  /** ======== STUB (video only) ========
-    * Deterministic fake decode: interprets the first 12 bytes as
-    * (w:int32, h:int32, frames:int32) little-endian and derives "pixels"
-    * from a hash of the payload. A real deployment swaps in an actual
-    * video codec here — signature and batch shape stay identical (the
-    * real audio/image kernels below prove the shape). */
+  /** Generic fake-payload kernel (plumbing-test harness only — every
+    * real modality has its own kernel; video's is `videoFeatures` below):
+    * interprets the first 12 bytes as (w:int32, h:int32, frames:int32)
+    * little-endian and derives "pixels" from a hash of the payload. */
   def decodeBatchStub(batch: Seq[MediaRow]): Seq[DecodedFeatures] =
     batch.map { r =>
       val bb = java.nio.ByteBuffer.wrap(r.media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -209,6 +209,101 @@ object Multimodal {
                    batchSize: Int = 64): Dataset[ResizedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(b => resizeImageBatch(b.toSeq, maxSide)))
+  }
+
+  // ======== REAL MODALITY: video (MJPEG-in-AVI, graft.mm.Avi) ========
+
+  final case class VideoRow(media_id: Long, media: Array[Byte])
+  final case class VideoFeatures(media_id: Long, width: Int, height: Int,
+                                 n_frames: Int, fps: Double, n_sampled: Int,
+                                 mean_luma: Double, feature: Array[Float])
+
+  /** Real batched video decode + features: the AVI container is walked
+    * (header info + frame chunks), every `sampleEveryN`-th frame is JPEG-
+    * decoded, and features aggregate across the sampled frames (global
+    * mean luma + the 16-dim grid-luma embedding averaged over frames).
+    * Frame sampling happens INSIDE the kernel — at 100 TB decoding every
+    * frame of every clip is the cost center, and the container format
+    * lets us skip whole chunks without touching the codec. Undecodable
+    * payloads are dropped (validation reports them upstream). */
+  def decodeVideoBatch(batch: Seq[VideoRow], sampleEveryN: Int = 1): Seq[VideoFeatures] =
+    batch.flatMap { r =>
+      Avi.parse(r.media).flatMap { case (info, frameChunks) =>
+        val sampled = frameChunks.zipWithIndex
+          .filter(_._2 % math.max(1, sampleEveryN) == 0)
+          .flatMap(fc => readImage(fc._1))
+        if (sampled.isEmpty) None
+        else {
+          val grid = new Array[Double](16)
+          var lumaSum = 0.0; var px = 0L
+          sampled.foreach { im =>
+            val w = im.getWidth; val h = im.getHeight
+            val cnt = new Array[Long](16)
+            val g = new Array[Double](16)
+            var y = 0
+            while (y < h) {
+              val gy = math.min(3, y * 4 / math.max(1, h))
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)
+                val gi = gy * 4 + math.min(3, x * 4 / math.max(1, w))
+                g(gi) += luma; cnt(gi) += 1
+                lumaSum += luma
+                x += 1
+              }
+              y += 1
+            }
+            px += w.toLong * h
+            var i = 0
+            while (i < 16) { if (cnt(i) > 0) grid(i) += g(i) / cnt(i); i += 1 }
+          }
+          val fps = if (info.usPerFrame > 0) 1e6 / info.usPerFrame else 0.0
+          Some(VideoFeatures(r.media_id, info.width, info.height, info.nFrames,
+            fps, sampled.length,
+            lumaSum / math.max(1L, px),
+            Array.tabulate(16)(i => (grid(i) / sampled.length / 255.0).toFloat)))
+        }
+      }
+    }
+
+  /** Batch-shaped REAL video feature stage — same mapPartitions contract
+    * as the audio/image kernels. */
+  def videoFeatures(ds: Dataset[VideoRow], sampleEveryN: Int = 1,
+                    batchSize: Int = 16): Dataset[VideoFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(b => decodeVideoBatch(b.toSeq, sampleEveryN)))
+  }
+
+  /** Deterministic synthetic MJPEG-AVI table (seeded gradient frames) —
+    * real encoded videos for the video-kernel tests/bench. */
+  def generateVideos(spark: SparkSession, n: Long, partitions: Int,
+                     seed: Long = 42L): Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).map { i =>
+      val h = (seed ^ i) * 0x9E3779B97F4A7C15L
+      val w = 16 + ((h >>> 8) % 32).toInt
+      val ht = 16 + ((h >>> 16) % 32).toInt
+      val nf = 3 + ((h >>> 24) % 8).toInt
+      val frames = (0 until nf).map { f =>
+        val im = new java.awt.image.BufferedImage(w, ht,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val base = (((h >>> 32) + f * 20) & 0xff).toInt
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < w) {
+            val v = (base + x * 200 / w) & 0xff
+            im.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        im
+      }
+      VideoRow(i, Avi.encodeMjpegAvi(frames, fps = 10))
+    }
   }
 
   /** Deterministic synthetic PNG table (seeded gradient tiles) — real
