@@ -343,7 +343,8 @@ object Interp {
     def walk(spec: Spec, value: JsonValue, ip: String, sp: String,
              ctx: RootCtx, stack: List[(Spec, JsonValue)]): Unit = spec match {
       case Spec.Accept => ()
-      case Spec.Reject => emit(ip, sp, "schema is false: nothing is valid")
+      case Spec.Reject =>
+        emit(ip, sp, s"False schema does not allow ${shv(JsonValue.render(value))}")
       case s: Spec.Obj =>
         if (n >= limit) return
         if (stack.exists { case (x, in) => (x eq spec) && (in eq value) }) return
@@ -358,38 +359,60 @@ object Interp {
           if (!valid(rs, value, rctx, st)) walk(rs, value, ip, sub("$ref"), rctx, st)
         }
         s.types.foreach { ts =>
-          if (!typeMatches(ts, value))
-            emit(ip, sub("type"), s"${value.jsonType.name} is not of type ${ts.map(_.name).mkString("/")}")
+          if (!typeMatches(ts, value)) {
+            val names = JsonType.all.filter(ts.contains).map(t => "\"" + t.name + "\"")
+            val noun = if (names.length == 1) "type" else "types"
+            emit(ip, sub("type"),
+              s"${shv(JsonValue.render(value))} is not of $noun ${names.mkString(", ")}")
+          }
         }
         s.const.foreach(c => if (!JsonValue.equal(c, value))
-          emit(ip, sub("const"), s"${shv(JsonValue.render(value).take(60))} does not equal the const"))
-        s.enumVals.foreach(es => if (!es.exists(JsonValue.equal(_, value)))
-          emit(ip, sub("enum"), s"${shv(JsonValue.render(value).take(60))} is not one of the enum values"))
+          emit(ip, sub("const"), s"${JsonValue.render(c)} was expected"))
+        s.enumVals.foreach { es =>
+          if (!es.exists(JsonValue.equal(_, value))) {
+            val r = es.map(JsonValue.render)
+            val listed = r.length match {
+              case 1 => r(0)
+              case 2 => s"${r(0)} or ${r(1)}"
+              case 3 => s"${r(0)}, ${r(1)} or ${r(2)}"
+              case n => s"${r(0)}, ${r(1)} or ${n - 2} other candidates"
+            }
+            emit(ip, sub("enum"), s"${shv(JsonValue.render(value))} is not one of $listed")
+          }
+        }
         value match {
           case JNum(num) =>
             s.minimum.foreach(m => if (num < m) emit(ip, sub("minimum"), s"${shv(num.toString)} is less than the minimum of $m"))
             s.maximum.foreach(m => if (num > m) emit(ip, sub("maximum"), s"${shv(num.toString)} is greater than the maximum of $m"))
-            s.exclusiveMinimum.foreach(m => if (num <= m) emit(ip, sub("exclusiveMinimum"), s"${shv(num.toString)} is not greater than $m"))
-            s.exclusiveMaximum.foreach(m => if (num >= m) emit(ip, sub("exclusiveMaximum"), s"${shv(num.toString)} is not less than $m"))
+            s.exclusiveMinimum.foreach(m => if (num <= m) emit(ip, sub("exclusiveMinimum"), s"${shv(num.toString)} is less than or equal to the minimum of $m"))
+            s.exclusiveMaximum.foreach(m => if (num >= m) emit(ip, sub("exclusiveMaximum"), s"${shv(num.toString)} is greater than or equal to the maximum of $m"))
             s.multipleOf.foreach(m => if ((num remainder m).signum != 0)
               emit(ip, sub("multipleOf"), s"${shv(num.toString)} is not a multiple of $m"))
           case JStr(str) =>
             val cp = codePoints(str)
-            s.minLength.foreach(m => if (cp < m) emit(ip, sub("minLength"), s"string is shorter than $m code points"))
-            s.maxLength.foreach(m => if (cp > m) emit(ip, sub("maxLength"), s"string is longer than $m code points"))
+            def chars(m: Long) = if (m == 1L) "character" else "characters"
+            s.minLength.foreach(m => if (cp < m) emit(ip, sub("minLength"),
+              s"${shv(JsonValue.render(value))} is shorter than $m ${chars(m)}"))
+            s.maxLength.foreach(m => if (cp > m) emit(ip, sub("maxLength"),
+              s"${shv(JsonValue.render(value))} is longer than $m ${chars(m)}"))
             s.pattern.foreach(pt => if (!compiled(pt).matcher(str).find())
-              emit(ip, sub("pattern"), s"string does not match pattern $pt"))
+              emit(ip, sub("pattern"),
+                s"${shv(JsonValue.render(value))} does not match ${JsonValue.render(JStr(pt))}"))
             if (p.assertFormats)
               s.format.foreach(f => graft.compile.Formats.scalaPredicate(f).foreach { pred =>
-                if (!pred(str)) emit(ip, sub("format"), s"string is not a valid $f")
+                if (!pred(str)) emit(ip, sub("format"),
+                  s"${shv(JsonValue.render(value))} is not a ${JsonValue.render(JStr(f))}")
               })
           case o: JObj =>
             s.required.foreach(r => if (!o.toMap.contains(r))
-              emit(ip, sub("required"), s"required property '$r' is missing"))
+              emit(ip, sub("required"), "\"" + r + "\" is a required property"))
+            def props(m: Long) = if (m == 1L) "property" else "properties"
             s.minProperties.foreach(m => if (o.fields.length < m)
-              emit(ip, sub("minProperties"), s"object has fewer than $m properties"))
+              emit(ip, sub("minProperties"),
+                s"${shv(JsonValue.render(value))} has less than $m ${props(m)}"))
             s.maxProperties.foreach(m => if (o.fields.length > m)
-              emit(ip, sub("maxProperties"), s"object has more than $m properties"))
+              emit(ip, sub("maxProperties"),
+                s"${shv(JsonValue.render(value))} has more than $m ${props(m)}"))
             s.properties.foreach { case (k, psub) =>
               o.get(k).foreach { pv =>
                 if (!okV(psub, pv)) walk(psub, pv, s"$ip/$k", s"${sub("properties")}/$k", c2, Nil)
@@ -405,12 +428,19 @@ object Interp {
             s.additionalProperties.foreach { ap =>
               val names = s.propertyNameSet
               val pats = s.patternProperties.map(pp => compiled(pp._1))
-              o.fields.foreach { case (k, pv) =>
-                if (!names.contains(k) && !pats.exists(_.matcher(k).find()) && !okV(ap, pv)) {
-                  if (ap == Spec.Reject)
-                    emit(s"$ip/$k", sub("additionalProperties"), s"additional property ${shk(k)} is not allowed")
-                  else walk(ap, pv, s"$ip/$k", sub("additionalProperties"), c2, Nil)
-                }
+              val extra = o.fields.collect {
+                case (k, pv) if !names.contains(k) && !pats.exists(_.matcher(k).find()) &&
+                  !okV(ap, pv) => (k, pv)
+              }
+              if (ap == Spec.Reject && extra.nonEmpty) {
+                // one aggregated error, the reference's template
+                // (`keywords/mod.rs` unexpected-property message)
+                val listed = extra.map(e => shk(e._1)).mkString(", ")
+                val verb = if (extra.length == 1) "was" else "were"
+                emit(ip, sub("additionalProperties"),
+                  s"Additional properties are not allowed ($listed $verb unexpected)")
+              } else extra.foreach { case (k, pv) =>
+                walk(ap, pv, s"$ip/$k", sub("additionalProperties"), c2, Nil)
               }
             }
             s.propertyNames.foreach { pn =>
@@ -435,9 +465,13 @@ object Interp {
               }
             }
           case JArr(a) =>
-            s.minItems.foreach(m => if (a.length < m) emit(ip, sub("minItems"), s"array has fewer than $m items"))
-            s.maxItems.foreach(m => if (a.length > m) emit(ip, sub("maxItems"), s"array has more than $m items"))
-            if (s.uniqueItems && !allUnique(a)) emit(ip, sub("uniqueItems"), "array items are not unique")
+            def items(m: Long) = if (m == 1L) "item" else "items"
+            s.minItems.foreach(m => if (a.length < m) emit(ip, sub("minItems"),
+              s"${shv(JsonValue.render(value))} has less than $m ${items(m)}"))
+            s.maxItems.foreach(m => if (a.length > m) emit(ip, sub("maxItems"),
+              s"${shv(JsonValue.render(value))} has more than $m ${items(m)}"))
+            if (s.uniqueItems && !allUnique(a))
+              emit(ip, sub("uniqueItems"), s"${shv(JsonValue.render(value))} has non-unique elements")
             s.prefixItems.zipWithIndex.foreach { case (psub, i) =>
               if (i < a.length && !okV(psub, a(i)))
                 walk(psub, a(i), s"$ip/$i", s"${sub("prefixItems")}/$i", c2, Nil)
@@ -450,7 +484,12 @@ object Interp {
             s.contains.foreach { csub =>
               val cn = a.count(okV(csub, _))
               val lo = s.minContains.getOrElse(1L)
-              if (cn < lo) emit(ip, sub("contains"), s"array contains $cn matching items, fewer than $lo")
+              if (cn < lo) {
+                if (cn == 0 && s.minContains.isEmpty)
+                  emit(ip, sub("contains"),
+                    s"None of ${shv(JsonValue.render(value))} are valid under the given schema")
+                else emit(ip, sub("contains"), s"array contains $cn matching items, fewer than $lo")
+              }
               s.maxContains.foreach(hi => if (cn > hi)
                 emit(ip, sub("maxContains"), s"array contains $cn matching items, more than $hi"))
             }
@@ -467,14 +506,15 @@ object Interp {
           if (!okV(m, value)) walk(m, value, ip, s"${sub("allOf")}/$i", c2, st)
         }
         if (s.anyOf.nonEmpty && !s.anyOf.exists(okV(_, value)))
-          emit(ip, sub("anyOf"), "value does not match any of the anyOf branches")
+          emit(ip, sub("anyOf"), s"${shv(JsonValue.render(value))} is not valid under any of the schemas listed in the 'anyOf' keyword")
         if (s.oneOf.nonEmpty) {
           val cnt = s.oneOf.count(okV(_, value))
-          if (cnt == 0) emit(ip, sub("oneOf"), "value matches none of the oneOf branches")
-          else if (cnt > 1) emit(ip, sub("oneOf"), s"value matches $cnt oneOf branches, expected exactly 1")
+          if (cnt == 0) emit(ip, sub("oneOf"), s"${shv(JsonValue.render(value))} is not valid under any of the schemas listed in the 'oneOf' keyword")
+          else if (cnt > 1) emit(ip, sub("oneOf"), s"${shv(JsonValue.render(value))} is valid under more than one of the schemas listed in the 'oneOf' keyword")
         }
         s.not.foreach(nt => if (okV(nt, value))
-          emit(ip, sub("not"), "value must not match the 'not' subschema"))
+          emit(ip, sub("not"),
+            s"${JsonValue.render(Spec.toJson(nt))} is not allowed for ${shv(JsonValue.render(value))}"))
         s.ifSpec.foreach { i =>
           if (okV(i, value)) s.thenSpec.foreach { t =>
             if (!okV(t, value)) walk(t, value, ip, sub("then"), c2, st)
