@@ -188,10 +188,20 @@ object Bench {
       results(name) = ts.min
     }
 
-    // warm the JVM/codegen once (reads full set once)
+    // warm to steady state before timing: the codegen'd validation classes
+    // need several passes for C2 to finish (first reps measured 7.1s vs a
+    // 3.4s steady state in the same window — ScalingBench reaches it via
+    // its interleaved rounds); the canonical headline is the steady-state
+    // throughput a long-running cluster job actually sustains
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "3").toInt
     var rows = 0L
-    validateClips(spark, clipsPath)
+    (1 to warmups).foreach(_ => validateClips(spark, clipsPath))
     timed("clips_full_suite", 3) { rows = validateClips(spark, clipsPath) }
+    if (sys.env.contains("SPARK_GRAFT_CLIPS_ONLY")) {
+      val clipsPerSec0 = rows / results("clips_full_suite")
+      println(f"""{"clips_only":true,"sec":${results("clips_full_suite")}%.3f,"clips_per_sec":$clipsPerSec0%.0f,"reps":[${repTimes("clips_full_suite").map(t => f"$t%.3f").mkString(",")}]}""")
+      spark.stop(); return
+    }
     val clipsPerSec = rows / results("clips_full_suite")
     timed("clips_audio_quality", 2) { audioQualityProfile(spark, clipsPath) }
     timed("clips_pipeline", 2) { clipsPipeline(spark, clipsPath) }

@@ -12,7 +12,8 @@ import graft.spec._
   * the skip list with a reason — any new divergence fails the build. */
 class CanonicalFormSpec extends AnyFunSuite {
 
-  val files = Seq("algebra.json", "numeric.json")
+  val files = Seq("algebra.json", "numeric.json", "negation.json", "folding.json",
+    "oneof.json", "emptiness.json", "satisfiability.json", "convergence.json")
 
   /** Known, understood divergences of the lite normal form, keyed by
     * "file / description"; each entry documents WHY the forms differ while
