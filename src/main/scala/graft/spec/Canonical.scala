@@ -17,16 +17,26 @@ package graft.spec
   */
 object Canonical {
 
-  def canonicalize(s: Spec): Spec =
+  def canonicalize(s: Spec): Spec = {
+    // a ROOT $id nothing else references is bookkeeping: "#" and
+    // pointer refs resolve to the root either way — drop it so the
+    // document qualifies for canonicalization (reference root handling)
+    val s1 = s match {
+      case o: Spec.Obj if o.id.nonEmpty && !usesAdvancedReferencing(o.copy(id = None)) =>
+        o.copy(id = None)
+      case other => other
+    }
     // Conservative fallback (the reference passes unsupported constructs
     // through as Raw, canonical/mod.rs:44-47): structure rewrites move
     // subschemas, which would dangle JSON-pointer refs and change anchor /
     // dynamic-scope resolution — leave such documents untouched.
-    if (usesAdvancedReferencing(s)) s
-    else canon(s, annotationsMatter = containsUnevaluated(s)) match {
+    resetCanonWork()
+    if (usesAdvancedReferencing(s1)) s1
+    else canon(s1, annotationsMatter = containsUnevaluated(s1)) match {
       case o: Spec.Obj if recursivelyEmpty(o) => Spec.Reject
       case other => other
     }
+  }
 
   /** Recursive-schema emptiness (`canonical/mod.rs:63-71` analog): a
     * least-fixpoint "some finite witness exists" computation over the
@@ -146,20 +156,46 @@ object Canonical {
     * (whose annotations feed the evaluated-set) are disabled — e.g. anyOf
     * Accept-dominance would un-evaluate properties matched by sibling
     * branches and flip an unevaluatedProperties:false verdict. */
-  private def canon(s: Spec, annotationsMatter: Boolean): Spec = s match {
+  /** Rewrite-work budget: the rewrite system has no global fixpoint
+    * proof — mutually-inverse spellings (a partition and its negation)
+    * can oscillate through nested distribution, and each oscillation
+    * multiplies branches. The budget counts TOTAL canon invocations per
+    * top-level canonicalize; past it every further node passes through
+    * unchanged, which is always a sound canonicalization. Real documents
+    * use a few hundred. */
+  private val canonWork = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = Array(0, 0) // (work, depth)
+  }
+  private[spec] def resetCanonWork(): Unit = { val w = canonWork.get(); w(0) = 0; w(1) = 0 }
+
+  private def canon(s: Spec, annotationsMatter: Boolean): Spec = {
+    val w = canonWork.get()
+    if (w(0) > 20000 || w(1) > 60) s
+    else {
+      w(0) += 1; w(1) += 1
+      try canonImpl(s, annotationsMatter)
+      finally w(1) -= 1
+    }
+  }
+
+  private def canonImpl(s: Spec, annotationsMatter: Boolean): Spec = s match {
     case Spec.Accept => Spec.Accept
     case Spec.Reject => Spec.Reject
     case o: Spec.Obj =>
-      val folded = foldAllOf(oneOfDisjoint(pushNotKeyword(recurse(o, annotationsMatter))))
+      val folded = foldAllOf(oneOfAlgebra(pushNotKeyword(recurse(o, annotationsMatter))))
       val alg = if (annotationsMatter) folded else anyOfAlgebra(folded, annotationsMatter)
       alg match {
         case f: Spec.Obj =>
           val nf = numericNormalize(f)
           if (isContradictory(nf)) Spec.Reject
           else valueSetCollapse(nf, annotationsMatter) match {
-            case v: Spec.Obj =>
+            case v0: Spec.Obj =>
+              val v = if (annotationsMatter) v0 else objectSpelling(v0)
               val c = constEquivalence(dedupEnum(v))
-              if (c == Spec.empty) Spec.Accept else c
+              if (c == Spec.empty) Spec.Accept
+              else if (c.allOf.length == 1 && only(c)(_.copy(allOf = Vector.empty)))
+                c.allOf.head // sole unmergeable conjunct IS the schema
+              else c
             case other => other
           }
         case other => other
@@ -188,9 +224,9 @@ object Canonical {
         o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty)) {
       def ceil(x: BigDecimal) = x.setScale(0, BigDecimal.RoundingMode.CEILING)
       def floor(x: BigDecimal) = x.setScale(0, BigDecimal.RoundingMode.FLOOR)
-      val lo = (o.minimum.map(ceil).toSeq ++ o.exclusiveMinimum.map(m => floor(m) + 1))
+      val lo = (o.minimum.map(ceil).toSeq ++ o.exclusiveMinimum.map(m => exAdd(floor(m), 1)))
         .reduceOption(_ max _)
-      val hi = (o.maximum.map(floor).toSeq ++ o.exclusiveMaximum.map(m => ceil(m) - 1))
+      val hi = (o.maximum.map(floor).toSeq ++ o.exclusiveMaximum.map(m => exSub(ceil(m), 1)))
         .reduceOption(_ min _)
       o = o.copy(minimum = lo, maximum = hi,
         exclusiveMinimum = None, exclusiveMaximum = None)
@@ -219,15 +255,15 @@ object Canonical {
       val hi = (o.maximum.map((_, false)).toSeq ++ o.exclusiveMaximum.map((_, true)))
         .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)
       val loSnap = lo.map { case (l, lx) =>
-        var first = BigDecimal(l.bigDecimal.divide(m.bigDecimal, 0,
-          java.math.RoundingMode.CEILING)) * m
-        if (lx && first == l) first += m
+        var first = exMul(BigDecimal(l.bigDecimal.divide(m.bigDecimal, 0,
+          java.math.RoundingMode.CEILING)), m)
+        if (lx && first == l) first = exAdd(first, m)
         first
       }
       val hiSnap = hi.map { case (h, hx) =>
-        var last = BigDecimal(h.bigDecimal.divide(m.bigDecimal, 0,
-          java.math.RoundingMode.FLOOR)) * m
-        if (hx && last == h) last -= m
+        var last = exMul(BigDecimal(h.bigDecimal.divide(m.bigDecimal, 0,
+          java.math.RoundingMode.FLOOR)), m)
+        if (hx && last == h) last = exSub(last, m)
         last
       }
       o = o.copy(minimum = loSnap.orElse(o.minimum), maximum = hiSnap.orElse(o.maximum),
@@ -236,6 +272,17 @@ object Canonical {
     }
     o
   }
+
+  // scala.math.BigDecimal's operators round at MathContext.DECIMAL128
+  // (34 digits): 1e300 - 1 comes back as 1e300 and silently widens a
+  // folded bound. All canonicalizer arithmetic goes through the EXACT
+  // java.math.BigDecimal ops (add/subtract/multiply are exact there).
+  private def exAdd(a: BigDecimal, b: BigDecimal): BigDecimal =
+    BigDecimal(a.bigDecimal.add(b.bigDecimal))
+  private def exSub(a: BigDecimal, b: BigDecimal): BigDecimal =
+    BigDecimal(a.bigDecimal.subtract(b.bigDecimal))
+  private def exMul(a: BigDecimal, b: BigDecimal): BigDecimal =
+    BigDecimal(a.bigDecimal.multiply(b.bigDecimal))
 
   /** Reduced fraction (numerator, denominator) of a positive decimal. */
   private def fracOf(x: BigDecimal): (BigInt, BigInt) = {
@@ -258,6 +305,51 @@ object Canonical {
   private def f64Exact(x: BigDecimal): Boolean =
     try new java.math.BigDecimal(x.toDouble).compareTo(x.bigDecimal) == 0
     catch { case _: Throwable => false }
+
+  /** Object-applicator spelling cleanups (the reference's first-IR
+    * normalizations): a tautological `additionalProperties: true` /
+    * `dependentSchemas: {k: true}` / `propertyNames: true` / `items: true`
+    * constrains nothing and drops; `additionalProperties: false` beside
+    * declared properties IS a key-set constraint and spells as
+    * `propertyNames: {enum: [keys]}` (with a `maxProperties` the key
+    * count already implies dropped). Gated off annotation-bearing
+    * documents — `additionalProperties`/`items` mark keys/items
+    * evaluated where unevaluated* is in scope. */
+  private def objectSpelling(o0: Spec.Obj): Spec.Obj = {
+    var o = o0
+    if (o.additionalProperties.contains(Spec.Accept))
+      o = o.copy(additionalProperties = None)
+    if (o.items.contains(Spec.Accept)) o = o.copy(items = None)
+    if (o.propertyNames.contains(Spec.Accept)) o = o.copy(propertyNames = None)
+    if (o.dependentSchemas.exists(_._2 == Spec.Accept))
+      o = o.copy(dependentSchemas = o.dependentSchemas.filter(_._2 != Spec.Accept))
+    o.not match {
+      case Some(nt0: Spec.Obj) =>
+        var nt = nt0
+        // ¬(A ∧ B) beside an enforced A ≡ ¬B: drop target conjuncts the
+        // parent repeats (types it pins, property entries it declares)
+        if (o.types.nonEmpty && nt.types.exists(ts =>
+            expand(o.types.get).subsetOf(expand(ts))))
+          nt = nt.copy(types = None)
+        if (nt.properties.nonEmpty && nt.properties.forall(e => o.properties.contains(e)))
+          nt = nt.copy(properties = nt.properties.filterNot(e => o.properties.contains(e)))
+        if (nt ne nt0) {
+          val rc = canon(nt, false)
+          o = if (rc == Spec.Accept) o.copy(not = None, allOf = o.allOf :+ Spec.Reject)
+              else if (rc == Spec.Reject) o.copy(not = None)
+              else o.copy(not = Some(rc))
+        }
+      case _ => ()
+    }
+    if (o.additionalProperties.contains(Spec.Reject) && o.patternProperties.isEmpty &&
+        o.propertyNames.isEmpty && o.properties.nonEmpty) {
+      val keys = o.properties.map(_._1)
+      o = o.copy(additionalProperties = None,
+        propertyNames = Some(Spec.Obj(enumVals = Some(keys.map(JStr(_))))),
+        maxProperties = o.maxProperties.filter(_ < keys.length))
+    }
+    o
+  }
 
   /** Interp-backed value-set filtering (per-kind leaves IR, lite): every
     * const/enum member is checked against the REST of the schema with the
@@ -309,52 +401,264 @@ object Canonical {
     * single bound/length/size keywords (the "vacuous pass" rule means
     * not({minimum:m}) accepts ONLY numbers below m → {type:number,
     * exclusiveMaximum:m}). Returns None when no sound rewrite exists. */
-  private def pushNot(inner: Spec): Option[Spec] = inner match {
+  private def pushNot(inner: Spec): Option[Spec] = pushNot(inner, bare = true, depth = 0)
+  private def pushNot(inner: Spec, bare: Boolean): Option[Spec] =
+    pushNot(inner, bare, depth = 0)
+
+  /** `bare` = the `not` stood alone in its parent; a not conjoined with
+    * sibling constraints keeps context-sensitive spellings (e.g. a bare
+    * whole-divisor negation partitions, a conjoined one stays inline —
+    * the reference's emission does the same). */
+  private def pushNot(inner: Spec, bare: Boolean, depth: Int): Option[Spec] = inner match {
     case Spec.Accept => Some(Spec.Reject)
     case Spec.Reject => Some(Spec.Accept)
+    // nested negations can GROW terms (each partition multiplies pieces a
+    // later De Morgan negates again) — past this depth the not stays as
+    // written, like any other unpushable form
+    case _ if depth > 6 => None
     case o: Spec.Obj =>
-      def num = Some(Set(JsonType.Number, JsonType.Integer): Set[JsonType])
       if (o.not.nonEmpty && only(o)(_.copy(not = None)))
         Some(o.not.get) // ¬¬X = X
+      else if (o.not.nonEmpty && o.types.nonEmpty && only(o)(_.copy(not = None, types = None))) {
+        // ¬(T ∧ ¬X) = ¬T ∨ (T ∧ X); the inner canon runs only for a
+        // negation-free X (a nested not could re-enter this rule and grow)
+        val comp = typesFromAtoms(allAtoms -- atomsOf(o.types.get))
+        val conj = Spec.Obj(types = o.types, allOf = Vector(o.not.get))
+        def hasNot(x: Spec): Boolean = x match {
+          case xo: Spec.Obj => xo.not.nonEmpty || subschemas(xo).exists(hasNot)
+          case _ => false
+        }
+        val within = if (depth <= 2 && !hasNot(o.not.get)) canon(conj, false) else conj
+        Some(Spec.Obj(anyOf = comp :+ within))
+      }
       else if (o.anyOf.nonEmpty && only(o)(_.copy(anyOf = Vector.empty)))
         // De Morgan: ¬(a ∨ b) = ¬a ∧ ¬b (each negation pushed in turn)
-        Some(Spec.Obj(allOf = o.anyOf.map(b => pushNotKeyword(Spec.Obj(not = Some(b))))))
-      else if (o.minimum.nonEmpty && only(o)(_.copy(minimum = None)))
-        Some(Spec.Obj(types = num, exclusiveMaximum = o.minimum))
-      else if (o.maximum.nonEmpty && only(o)(_.copy(maximum = None)))
-        Some(Spec.Obj(types = num, exclusiveMinimum = o.maximum))
-      else if (o.exclusiveMinimum.nonEmpty && only(o)(_.copy(exclusiveMinimum = None)))
-        Some(Spec.Obj(types = num, maximum = o.exclusiveMinimum))
-      else if (o.exclusiveMaximum.nonEmpty && only(o)(_.copy(exclusiveMaximum = None)))
-        Some(Spec.Obj(types = num, minimum = o.exclusiveMaximum))
-      else if (o.minLength.nonEmpty && only(o)(_.copy(minLength = None)))
-        o.minLength.map(n => if (n == 0) Spec.Reject
-          else Spec.Obj(types = Some(Set(JsonType.String)), maxLength = Some(n - 1)))
-      else if (o.maxLength.nonEmpty && only(o)(_.copy(maxLength = None)))
-        o.maxLength.map(n => Spec.Obj(types = Some(Set(JsonType.String)), minLength = Some(n + 1)))
-      else if (o.minItems.nonEmpty && only(o)(_.copy(minItems = None)))
-        o.minItems.map(n => if (n == 0) Spec.Reject
-          else Spec.Obj(types = Some(Set(JsonType.Array)), maxItems = Some(n - 1)))
-      else if (o.maxItems.nonEmpty && only(o)(_.copy(maxItems = None)))
-        o.maxItems.map(n => Spec.Obj(types = Some(Set(JsonType.Array)), minItems = Some(n + 1)))
-      else if (o.types.nonEmpty && only(o)(_.copy(types = None))) {
-        val ts = o.types.get
-        // ¬integer alone admits non-integral numbers, which "number" can't
-        // encode; number WITHOUT integer is fine — number covers integers,
-        // so the complement simply excludes both
-        if (ts.contains(JsonType.Integer) && !ts.contains(JsonType.Number)) None
+        Some(Spec.Obj(allOf = o.anyOf.map { b =>
+          val w = Spec.Obj(not = Some(b))
+          pushNot(b, bare = true, depth + 1) match {
+            case Some(Spec.Reject) => Spec.Reject
+            case Some(Spec.Accept) => Spec.Accept
+            case Some(p) => p
+            case None => w
+          }
+        }))
+      else negateLeaf(o, bare, depth)
+  }
+
+  // ---- type atoms: `integer` splits `number` into whole / non-whole ----
+  private val allAtoms: Set[String] =
+    Set("null", "boolean", "string", "array", "object", "int", "nonint")
+  private def atomsOf(ts: Set[JsonType]): Set[String] = ts.flatMap {
+    case JsonType.Null => Set("null"); case JsonType.Boolean => Set("boolean")
+    case JsonType.String => Set("string"); case JsonType.Array => Set("array")
+    case JsonType.Object => Set("object")
+    case JsonType.Integer => Set("int")
+    case JsonType.Number => Set("int", "nonint")
+  }
+  private val nonWholeNumbers = Spec.Obj(types = Some(Set(JsonType.Number): Set[JsonType]),
+    not = Some(Spec.Obj(multipleOf = Some(BigDecimal(1)))))
+  /** Atom set → positive schemas (possibly two: a plain type list plus the
+    * non-whole-number piece spelled `{type:number, not:{multipleOf:1}}`). */
+  private def typesFromAtoms(as: Set[String]): Vector[Spec] = {
+    var plain = Set.empty[JsonType]
+    if (as("null")) plain += JsonType.Null
+    if (as("boolean")) plain += JsonType.Boolean
+    if (as("string")) plain += JsonType.String
+    if (as("array")) plain += JsonType.Array
+    if (as("object")) plain += JsonType.Object
+    val extra =
+      if (as("int") && as("nonint")) { plain += JsonType.Number; Vector.empty[Spec] }
+      else if (as("int")) { plain += JsonType.Integer; Vector.empty[Spec] }
+      else if (as("nonint")) Vector[Spec](nonWholeNumbers)
+      else Vector.empty[Spec]
+    (if (plain.isEmpty) Vector.empty[Spec]
+     else Vector[Spec](Spec.Obj(types = Some(plain)))) ++ extra
+  }
+
+  /** Partitioned leaf negation — the reference's negate.rs normal form:
+    * ¬(T ∧ C₁ ∧ C₂ …) over a scalar leaf becomes
+    * `anyOf[ complement-of-T , (T∩dom C₁)∧¬C₁ , (T∩dom C₂)∧¬C₂ , … ]`,
+    * with each keyword complemented within its own domain type (a keyword
+    * passes vacuously outside it, so its negation rejects there) and the
+    * type complement tracked at ATOM granularity — `integer` splits
+    * `number` into whole and non-whole halves, the latter spelled
+    * `{type:number, not:{multipleOf:1}}` like the reference. Value sets
+    * partition per member type: numeric members become the open rays and
+    * gaps around them, boolean members free the other constant, a null
+    * member consumes its whole domain. None ⇒ no sound spelling (the
+    * `not` keyword stays as written). */
+  private def negateLeaf(o: Spec.Obj, bare: Boolean, depth: Int): Option[Spec] = {
+    val unsupported =
+      o.not.nonEmpty || o.allOf.nonEmpty || o.anyOf.nonEmpty || o.oneOf.nonEmpty ||
+      o.ifSpec.nonEmpty || o.thenSpec.nonEmpty || o.elseSpec.nonEmpty ||
+      o.ref.nonEmpty || o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty ||
+      o.id.nonEmpty || o.anchor.nonEmpty || o.dynamicAnchor.nonEmpty || o.recursiveAnchor ||
+      o.defs.nonEmpty || o.others.nonEmpty ||
+      o.patternProperties.nonEmpty || o.additionalProperties.nonEmpty ||
+      o.dependentRequired.nonEmpty || o.dependentSchemas.nonEmpty ||
+      o.items.nonEmpty || o.prefixItems.nonEmpty || o.contains.nonEmpty ||
+      o.minContains.nonEmpty || o.maxContains.nonEmpty || o.uniqueItems ||
+      o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
+      o.format.nonEmpty || o.contentEncoding.nonEmpty || o.contentMediaType.nonEmpty ||
+      o.contentSchema.nonEmpty
+    if (unsupported) return None
+    // an UNTYPED divisor negation: a WHOLE sole divisor partitions into
+    // the non-whole numbers plus the integers off the grid (the
+    // reference's "not of a bare multipleOf"); anything else stays as
+    // written (`not:{multipleOf:m}` in place)
+    if (o.multipleOf.nonEmpty && o.types.isEmpty) {
+      val m = o.multipleOf.get
+      return if (bare && m.isWhole && m.signum > 0 && only(o)(_.copy(multipleOf = None)))
+        Some(Spec.Obj(anyOf = Vector(
+          Spec.Obj(types = Some(Set(JsonType.Number): Set[JsonType]),
+            not = Some(Spec.Obj(multipleOf = Some(BigDecimal(1))))),
+          Spec.Obj(types = Some(Set(JsonType.Integer): Set[JsonType]),
+            not = Some(Spec.Obj(multipleOf = Some(m)))))))
+      else None
+    }
+    // ¬pattern has no positive spelling — the emitted string branch wraps
+    // the very same not, so pushing a BARE pattern-only schema would grow
+    // forever ({string, allOf:[not:{pattern}]} nests itself); it stays
+    // as written and only the TYPED pattern leaf partitions
+    if (o.pattern.nonEmpty && o.types.isEmpty && only(o)(_.copy(pattern = None)))
+      return None
+    val hasValues = o.const.nonEmpty || o.enumVals.nonEmpty
+    val hasConstraints = o.minimum.nonEmpty || o.maximum.nonEmpty ||
+      o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty || o.multipleOf.nonEmpty ||
+      o.minLength.nonEmpty || o.maxLength.nonEmpty || o.pattern.nonEmpty ||
+      o.minItems.nonEmpty || o.maxItems.nonEmpty ||
+      o.minProperties.nonEmpty || o.maxProperties.nonEmpty ||
+      o.required.nonEmpty || o.properties.nonEmpty || o.propertyNames.nonEmpty
+    if (hasValues && hasConstraints) return None
+
+    val tAtoms = atomsOf(o.types.getOrElse(JsonType.all.toSet))
+    val branches = Vector.newBuilder[Spec]
+    branches ++= typesFromAtoms(allAtoms -- tAtoms)
+    def numT = Some(Set(JsonType.Number): Set[JsonType])
+    def carrier: Option[Set[JsonType]] =
+      if (tAtoms("int") && tAtoms("nonint")) Some(Set(JsonType.Number))
+      else if (tAtoms("int")) Some(Set(JsonType.Integer))
+      else None
+
+    if (hasValues) {
+      val members = o.const.map(Vector(_)).getOrElse(o.enumVals.get)
+      if (members.exists(m => m.isInstanceOf[JStr] || m.isInstanceOf[JArr] ||
+          m.isInstanceOf[JObj])) return None
+      val numMembers = members.collect { case n: JNum => n.value }.distinct.sorted
+      // numeric members: only spellable over the FULL number domain
+      if (numMembers.nonEmpty && !(tAtoms("int") && tAtoms("nonint"))) return None
+      if (tAtoms("null") && !members.contains(JNull))
+        branches += Spec.Obj(types = Some(Set(JsonType.Null): Set[JsonType]))
+      if (tAtoms("boolean")) {
+        val hasT = members.exists(JsonValue.equal(_, JBool(true)))
+        val hasF = members.exists(JsonValue.equal(_, JBool(false)))
+        if (!hasT && !hasF) branches += Spec.Obj(types = Some(Set(JsonType.Boolean): Set[JsonType]))
+        else if (!hasT) branches += Spec.Obj(const = Some(JBool(true)))
+        else if (!hasF) branches += Spec.Obj(const = Some(JBool(false)))
+      }
+      if (tAtoms("int") && tAtoms("nonint")) {
+        if (numMembers.isEmpty)
+          branches += Spec.Obj(types = Some(Set(JsonType.Number): Set[JsonType]))
         else {
-          val comp = JsonType.all.toSet -- expand(ts)
-          Some(if (comp.isEmpty) Spec.Reject else Spec.Obj(types = Some(comp)))
+          branches += Spec.Obj(types = numT, exclusiveMaximum = Some(numMembers.head))
+          numMembers.sliding(2).foreach {
+            case Seq(a, b) => branches += Spec.Obj(types = numT,
+              exclusiveMinimum = Some(a), exclusiveMaximum = Some(b))
+            case _ => ()
+          }
+          branches += Spec.Obj(types = numT, exclusiveMinimum = Some(numMembers.last))
         }
       }
-      else None
+      // string/array/object atoms of T with no members of that type:
+      // the whole domain belongs to the complement
+      if (tAtoms("string")) branches += Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]))
+      if (tAtoms("array")) branches += Spec.Obj(types = Some(Set(JsonType.Array): Set[JsonType]))
+      if (tAtoms("object")) branches += Spec.Obj(types = Some(Set(JsonType.Object): Set[JsonType]))
+    } else {
+      // per-keyword complements within each keyword's domain
+      val numericDom = tAtoms("int") || tAtoms("nonint")
+      if (numericDom) {
+        val ct = carrier
+        def numBranch(f: Spec.Obj => Spec.Obj): Unit = ct match {
+          case Some(t) => branches += numericNormalize(f(Spec.Obj(types = Some(t))))
+          case None => () // nonint-only carrier: no spelling — but then
+                          // numeric keywords also never PASS wholes; bail
+        }
+        if (ct.isEmpty && (o.minimum.nonEmpty || o.maximum.nonEmpty ||
+            o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty ||
+            o.multipleOf.nonEmpty)) return None
+        o.minimum.foreach(m => numBranch(_.copy(exclusiveMaximum = Some(m))))
+        o.maximum.foreach(m => numBranch(_.copy(exclusiveMinimum = Some(m))))
+        o.exclusiveMinimum.foreach(m => numBranch(_.copy(maximum = Some(m))))
+        o.exclusiveMaximum.foreach(m => numBranch(_.copy(minimum = Some(m))))
+        o.multipleOf.foreach(m =>
+          numBranch(_.copy(not = Some(Spec.Obj(multipleOf = Some(m))))))
+      }
+      if (tAtoms("string")) {
+        val st = Some(Set(JsonType.String): Set[JsonType])
+        o.minLength.foreach(n => if (n > 0)
+          branches += Spec.Obj(types = st, maxLength = Some(n - 1)))
+        o.maxLength.foreach(n =>
+          branches += Spec.Obj(types = st, minLength = Some(n + 1)))
+        o.pattern.foreach(p =>
+          branches += Spec.Obj(types = st,
+            allOf = Vector(Spec.Obj(not = Some(Spec.Obj(pattern = Some(p)))))))
+      }
+      if (tAtoms("array")) {
+        val at = Some(Set(JsonType.Array): Set[JsonType])
+        o.minItems.foreach(n => if (n > 0)
+          branches += Spec.Obj(types = at, maxItems = Some(n - 1)))
+        o.maxItems.foreach(n =>
+          branches += Spec.Obj(types = at, minItems = Some(n + 1)))
+      }
+      if (tAtoms("object")) {
+        val ot = Some(Set(JsonType.Object): Set[JsonType])
+        o.minProperties.foreach(n => if (n > 0)
+          branches += Spec.Obj(types = ot, maxProperties = Some(n - 1)))
+        o.maxProperties.foreach(n =>
+          branches += Spec.Obj(types = ot, minProperties = Some(n + 1)))
+        o.required.foreach(k =>
+          branches += Spec.Obj(types = ot,
+            properties = Vector(k -> Spec.Reject)))
+        // conjoined parents keep `not:{propertyNames}` in place, where
+        // the pinned-keyset unsatisfiability analysis reads it
+        if (o.propertyNames.nonEmpty && !bare) return None
+        o.propertyNames.foreach { pn =>
+          // a key violating the name schema must exist; the reference
+          // re-spells the target with its implicit string type
+          val typed = pn match {
+            case po: Spec.Obj if po.types.isEmpty && po.const.isEmpty && po.enumVals.isEmpty =>
+              po.copy(types = Some(Set(JsonType.String): Set[JsonType]))
+            case other => other
+          }
+          branches += Spec.Obj(types = ot,
+            not = Some(Spec.Obj(propertyNames = Some(typed))))
+        }
+        o.properties.foreach { case (k, sub) =>
+          pushNot(sub, bare = true, depth + 1) match {
+            case None => return None
+            case Some(Spec.Reject) => () // ¬sub impossible (sub accepts all)
+            case Some(Spec.Accept) =>
+              branches += Spec.Obj(types = ot, required = Vector(k))
+            case Some(ns) =>
+              branches += Spec.Obj(types = ot, required = Vector(k),
+                properties = Vector(k -> ns))
+          }
+        }
+      }
+    }
+    val bs = branches.result().filter(_ != Spec.Reject)
+    Some(bs match {
+      case Vector() => Spec.Reject
+      case Vector(one) => one
+      case many => Spec.Obj(anyOf = many)
+    })
   }
 
   /** Rewrite the `not` keyword of `o` into positive conjuncts when the
     * pushed form exists (kept as an allOf member so foldAllOf merges it). */
   private def pushNotKeyword(o: Spec.Obj): Spec.Obj = o.not match {
-    case Some(n) => pushNot(n) match {
+    case Some(n) => pushNot(n, bare = only(o)(_.copy(not = None))) match {
       case Some(Spec.Reject) => o.copy(not = None, allOf = o.allOf :+ Spec.Reject)
       case Some(Spec.Accept) => o.copy(not = None)
       case Some(p) => o.copy(not = None, allOf = o.allOf :+ p)
@@ -390,6 +694,17 @@ object Canonical {
   def subsumes(general: Spec, specific: Spec): Boolean = (general, specific) match {
     case (Spec.Accept, _) => true
     case (_, Spec.Reject) => true
+    // a pure value set is covered when every member passes g outright
+    // (the interpreter decides each finite witness exactly — g may carry
+    // applicators/negations as long as its semantics are Interp-complete)
+    case (g: Spec.Obj, s: Spec.Obj) if (s.const.nonEmpty || s.enumVals.nonEmpty) &&
+        only(s)(_.copy(const = None, enumVals = None, types = None)) &&
+        g.const.isEmpty && g.enumVals.isEmpty && g.format.isEmpty &&
+        g.contentEncoding.isEmpty && g.contentMediaType.isEmpty &&
+        g.contentSchema.isEmpty && g.others.isEmpty && !containsRefs(g) =>
+      try s.const.map(Vector(_)).getOrElse(s.enumVals.get)
+        .forall(m => Interp.isValid(g, m))
+      catch { case _: Throwable => false }
     case (g: Spec.Obj, s: Spec.Obj) if scalarLeaf(g) && scalarLeaf(s) =>
       // a pure value set carries its members' types implicitly — lets
       // {type:string} subsume {const:"a"} (covered-branch dropping)
@@ -429,8 +744,14 @@ object Canonical {
       val reqOk = g.required.forall(s.required.contains)
       // propertyNames compared recursively: g's key-set constraint must
       // cover s's (absent g.propertyNames covers any)
+      def stripStr(x: Spec): Spec = x match {
+        case xo: Spec.Obj if xo.types.exists(_.subsetOf(Set(JsonType.String): Set[JsonType])) =>
+          xo.copy(types = None) // property names are strings regardless
+        case other => other
+      }
       val pnOk = g.propertyNames.forall(gp =>
-        s.propertyNames.exists(sp => sp == gp || subsumes(gp, sp)))
+        s.propertyNames.exists(sp => sp == gp || stripStr(sp) == stripStr(gp) ||
+          subsumes(stripStr(gp), stripStr(sp))))
       val valuesOk = (g.const, g.enumVals) match {
         case (Some(c), _) =>
           s.const.exists(JsonValue.equal(_, c)) ||
@@ -469,15 +790,79 @@ object Canonical {
     case _ => false
   }
 
-  /** Pairwise-disjoint oneOf ⇒ anyOf (exactly-one ≡ at-least-one):
-    * drops the counting plan for the common tagged-union shape. */
-  private def oneOfDisjoint(o: Spec.Obj): Spec.Obj = {
-    val live = o.oneOf.filter(_ != Spec.Reject)
-    if (live.length >= 2 && live.forall(_ != Spec.Accept) &&
-        live.combinations(2).forall { p => disjoint(p(0), p(1)) }) {
+  /** oneOf algebra (`algebra.rs` exact-encoding rules, lite):
+    *  - dead branches drop; a duplicated branch can never be the "exactly
+    *    one", so it moves to the negative side (oneOf[X,X,R] ≡ ¬X ∧ oneOf[R]);
+    *  - two `true` branches always both match → unsatisfiable; a single
+    *    `true` beside others admits exactly the instances matching NO
+    *    other branch (the complement conjunction);
+    *  - a singleton oneOf is plain conjunction;
+    *  - all-value-set branches take the exact encoding: the values in
+    *    exactly ONE branch;
+    *  - all-type-only branches XOR at atom granularity (`integer` splits
+    *    `number`; a non-whole-numbers piece spells as
+    *    `{type:number, not:{multipleOf:1}}`);
+    *  - pairwise-disjoint branches drop the counting plan (⇒ anyOf). */
+  private def oneOfAlgebra(o0: Spec.Obj): Spec.Obj = {
+    if (o0.oneOf.isEmpty) return o0
+    var o = o0
+    var live = o.oneOf.filter(_ != Spec.Reject)
+    if (live.isEmpty) return o.copy(oneOf = Vector(Spec.Reject)) // sentinel
+    // duplicated branches join the negative side
+    val dupGroups = live.groupBy(identity).collect { case (b, bs) if bs.size >= 2 => b }.toVector
+    if (dupGroups.nonEmpty) {
+      live = live.filterNot(dupGroups.contains)
+      o = o.copy(allOf = o.allOf ++
+        dupGroups.map(d => pushNotKeyword(Spec.Obj(not = Some(d)))))
+      if (live.isEmpty) // nothing left that could be the exactly-one
+        return o.copy(oneOf = Vector(Spec.Reject))
+    }
+    val nAccept = live.count(_ == Spec.Accept)
+    if (nAccept >= 2) return o.copy(oneOf = Vector(Spec.Reject))
+    if (nAccept == 1) {
+      val others = live.filter(_ != Spec.Accept)
+      return o.copy(oneOf = Vector.empty, allOf = o.allOf ++
+        others.map(b => pushNotKeyword(Spec.Obj(not = Some(b)))))
+    }
+    if (live.length == 1) // plain conjunction
+      return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ live.head)
+    // exact value encoding: the members accepted by exactly one branch
+    def valueSet(b: Spec): Option[Vector[JsonValue]] = b match {
+      case ob: Spec.Obj if only(ob)(_.copy(const = None, enumVals = None)) =>
+        ob.const.map(Vector(_)).orElse(ob.enumVals)
+      case _ => None
+    }
+    val vsets = live.map(valueSet)
+    if (vsets.forall(_.nonEmpty)) {
+      val sets = vsets.flatten
+      val uniq = sets.flatten.foldLeft(Vector.empty[JsonValue])((acc, v) =>
+        if (acc.exists(JsonValue.equal(_, v))) acc else acc :+ v)
+      val once = uniq.filter(v => sets.count(_.exists(JsonValue.equal(_, v))) == 1)
+      val rep: Spec = if (once.isEmpty) Spec.Reject else Spec.Obj(enumVals = Some(once))
+      return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ rep)
+    }
+    // exact type encoding: atoms covered by exactly one branch
+    def typeOnly(b: Spec): Option[Set[String]] = b match {
+      case ob: Spec.Obj if only(ob)(_.copy(types = None)) && ob.types.nonEmpty =>
+        Some(atomsOf(ob.types.get))
+      case _ => None
+    }
+    val tsets = live.map(typeOnly)
+    if (tsets.forall(_.nonEmpty)) {
+      val once = allAtoms.filter(a => tsets.flatten.count(_.contains(a)) == 1)
+      val pieces = typesFromAtoms(once)
+      val rep: Spec = pieces match {
+        case Vector() => Spec.Reject
+        case Vector(one) => one
+        case many => Spec.Obj(anyOf = many)
+      }
+      return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ rep)
+    }
+    // pairwise-disjoint ⇒ anyOf (exactly-one ≡ at-least-one)
+    if (live.length >= 2 && live.combinations(2).forall(p => disjoint(p(0), p(1)))) {
       if (o.anyOf.isEmpty) o.copy(oneOf = Vector.empty, anyOf = live)
       else o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = live))
-    } else o
+    } else o.copy(oneOf = live)
   }
 
   /** Does any subschema carry unevaluatedProperties/unevaluatedItems? */
@@ -582,31 +967,57 @@ object Canonical {
             .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)))
       else None
 
+    // string branch: length window with an optional shared pattern
+    final case class StrBranch(pattern: Option[String], lo: Option[Long], hi: Option[Long])
+    def strBranch(o: Spec.Obj): Option[StrBranch] =
+      if (only(o)(_.copy(types = None, minLength = None, maxLength = None, pattern = None)) &&
+          o.types.contains(Set(JsonType.String): Set[JsonType]) &&
+          (o.minLength.nonEmpty || o.maxLength.nonEmpty))
+        Some(StrBranch(o.pattern, o.minLength, o.maxLength))
+      else None
+
     val objs = branches.collect { case o: Spec.Obj => o }
     if (objs.size != branches.size) return branches // non-Obj members: leave as-is
 
-    var typeSet: Set[JsonType] = objs.flatMap(typeOnly).flatten.toSet
+    // a standalone null branch is the value `null` — reference folds it
+    // into a sibling value set (finite domain); multi-type branches keep
+    // null in the type list
+    var nullOnly = 0
+    var typeSet: Set[JsonType] = objs.flatMap(typeOnly).collect {
+      case ts if ts != (Set(JsonType.Null): Set[JsonType]) => ts
+    }.flatten.toSet
+    objs.foreach(o => if (typeOnly(o).contains(Set(JsonType.Null): Set[JsonType])) nullOnly += 1)
     var values: Vector[JsonValue] = Vector.empty
     val nums = scala.collection.mutable.Buffer[NumBranch]()
+    val strs = scala.collection.mutable.Buffer[StrBranch]()
     val residual = Vector.newBuilder[Spec]
-    var sawValueBranch = false; var sawNumBranch = false
+    var sawValueBranch = false; var sawNumBranch = false; var sawStrBranch = false
     var typeBranches = 0
     objs.foreach { o =>
       valueMembers(o) match {
         case Some(vs) => sawValueBranch = true
           values = values ++ vs.filterNot(v => values.exists(JsonValue.equal(_, v)))
         case None => typeOnly(o) match {
+          case Some(ts) if ts == (Set(JsonType.Null): Set[JsonType]) => typeBranches += 1
           case Some(_) => typeBranches += 1
           case None => numBranch(o) match {
             case Some(nb) => sawNumBranch = true; nums += nb
-            case None => residual += o
+            case None => strBranch(o) match {
+              case Some(sb) => sawStrBranch = true; strs += sb
+              case None => residual += o
+            }
           }
         }
       }
     }
-    if (!sawValueBranch && !sawNumBranch && typeBranches <= 1)
+    if (!sawValueBranch && !sawNumBranch && !sawStrBranch && typeBranches <= 1)
       return branches // nothing to fold
 
+    if (nullOnly > 0) {
+      if (typeSet.isEmpty && values.nonEmpty && !values.contains(JNull))
+        values = values :+ JNull
+      else typeSet = typeSet + JsonType.Null
+    }
     // both booleans present ⇒ the full boolean domain ⇒ type form
     if (values.exists(JsonValue.equal(_, JBool(true))) &&
         values.exists(JsonValue.equal(_, JBool(false)))) {
@@ -616,6 +1027,27 @@ object Canonical {
     // members a type branch already covers add nothing to the union
     if (typeSet.nonEmpty)
       values = values.filterNot(v => typeOk(typeSet, v))
+    // an integer interval absorbs a whole member it admits, and swallows
+    // one adjacent to its end (the grid has no value in between)
+    values = values.filterNot {
+      case JNum(v) if v.isWhole =>
+        nums.indices.exists { i =>
+          val nb = nums(i)
+          val intB = nb.ts == (Set(JsonType.Integer): Set[JsonType]) && nb.m.isEmpty
+          if (!intB) false
+          else {
+            val aboveLo = nb.lo.forall { case (l, lx) => v > l || (v == l && !lx) }
+            val belowHi = nb.hi.forall { case (h, hx) => v < h || (v == h && !hx) }
+            if (aboveLo && belowHi) true // inside
+            else if (nb.lo.exists { case (l, lx) => !lx && exAdd(v, 1) == l } && belowHi) {
+              nums(i) = nb.copy(lo = Some((v, false))); true // extend down
+            } else if (nb.hi.exists { case (h, hx) => !hx && exAdd(h, 1) == v } && aboveLo) {
+              nums(i) = nb.copy(hi = Some((v, false))); true // extend up
+            } else false
+          }
+        }
+      case _ => false
+    }
 
     // overlapping (or grid-adjacent, under a shared divisor / the integer
     // grid) numeric intervals of a union merge; a full cover is the bare
@@ -632,7 +1064,7 @@ object Canonical {
             // grid: a gap of at most one step holds no admitted value
             val step = a.m.orElse(
               if (a.ts == (Set(JsonType.Integer): Set[JsonType])) Some(BigDecimal(1)) else None)
-            step.exists(st => !lx && !hx && l <= h + st)
+            step.exists(st => !lx && !hx && l <= exAdd(h, st))
           }
         case _ => true
       }
@@ -654,6 +1086,39 @@ object Canonical {
         }
       }.foreach(_ => mergedAny = true)
     }
+    // overlapping/adjacent string-length windows with the same pattern
+    // merge; a full cover keeps just type (+ pattern)
+    var strMerged = true
+    while (strMerged && strs.size >= 2) {
+      strMerged = false
+      val pairs = for { i <- strs.indices; j <- strs.indices if i < j } yield (i, j)
+      pairs.find { case (i, j) =>
+        strs(i).pattern == strs(j).pattern && {
+          val a = strs(i); val b = strs(j)
+          val l = Seq(a.lo, b.lo).flatten.maxOption
+          val h = Seq(a.hi, b.hi).flatten.minOption
+          val foldable = (l, h) match {
+            case (Some(lv), Some(hv)) => lv <= hv + 1 // lengths are integers
+            case _ => true
+          }
+          foldable && {
+            val lo = for { x <- a.lo; y <- b.lo } yield x.min(y)
+            val hi = for { x <- a.hi; y <- b.hi } yield x.max(y)
+            strs(j) = StrBranch(a.pattern, lo, hi); strs.remove(i); true
+          }
+        }
+      }.foreach(_ => strMerged = true)
+    }
+    val strOut: Vector[Spec] = strs.toVector.flatMap { sb =>
+      if (sb.lo.forall(_ <= 0L) && sb.hi.isEmpty) {
+        if (sb.pattern.isEmpty) { typeSet = typeSet + JsonType.String; Vector.empty }
+        else Vector(Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]),
+          pattern = sb.pattern))
+      }
+      else Vector(Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]),
+        pattern = sb.pattern,
+        minLength = sb.lo.filter(_ > 0L), maxLength = sb.hi))
+    }
     val numOut: Vector[Spec] = nums.toVector.flatMap { nb =>
       if (nb.lo.isEmpty && nb.hi.isEmpty && nb.m.isEmpty) {
         typeSet = typeSet ++ nb.ts; Vector.empty
@@ -673,7 +1138,7 @@ object Canonical {
       case Vector(single) => Vector(Spec.Obj(const = Some(single)))
       case many => Vector(Spec.Obj(enumVals = Some(many)))
     }
-    typeOut ++ valueOut ++ numOut ++ residual.result()
+    typeOut ++ valueOut ++ numOut ++ strOut ++ residual.result()
   }
 
   /** Conjunct distribution through a union (`algebra.rs` conjunct rules):
@@ -681,14 +1146,25 @@ object Canonical {
     * — branches that die erase themselves and a sole survivor replaces
     * the whole disjunction. Also unwraps a singleton anyOf. */
   private def anyOfAlgebra(o: Spec.Obj, annotationsMatter: Boolean): Spec = {
-    val residue = o.copy(anyOf = Vector.empty)
+    // unmergeable conjuncts ride along into each distributed branch:
+    // (R ∧ M₁ ∧ … ∧ (B₁ ∨ B₂)) = ((R∧M…∧B₁) ∨ (R∧M…∧B₂))
+    val residueScalar = o.copy(anyOf = Vector.empty, allOf = Vector.empty)
+    val conjuncts = o.allOf
+    val distributable = o.anyOf.nonEmpty && o.anyOf.size <= 8 &&
+      (residueScalar != Spec.empty || conjuncts.nonEmpty) &&
+      conjuncts.length <= 4 &&
+      (residueScalar == Spec.empty ||
+        (scalarLeaf(residueScalar) && residueScalar.const.isEmpty && residueScalar.enumVals.isEmpty)) &&
+      o.anyOf.forall(_.isInstanceOf[Spec.Obj])
     val out =
-      if (o.anyOf.nonEmpty && o.anyOf.size <= 8 && residue != Spec.empty &&
-          scalarLeaf(residue) && residue.const.isEmpty && residue.enumVals.isEmpty &&
-          o.anyOf.forall(_.isInstanceOf[Spec.Obj])) {
-        val dist = o.anyOf.map(b => canon(Spec.Obj(allOf = Vector(residue, b)), annotationsMatter))
+      if (distributable) {
+        val base = (if (residueScalar == Spec.empty) Vector.empty[Spec]
+                    else Vector[Spec](residueScalar)) ++ conjuncts
+        val dist = o.anyOf.map(b => canon(Spec.Obj(allOf = base :+ b), annotationsMatter))
         Spec.Obj(anyOf = simplifyAnyOf(dist, annotationsMatter))
-      } else o
+      } else if (o.anyOf.nonEmpty)
+        o.copy(anyOf = simplifyAnyOf(o.anyOf, annotationsMatter))
+      else o
     out match {
       case res: Spec.Obj if res.anyOf == Vector(Spec.Reject) => Spec.Reject
       case res: Spec.Obj if res.anyOf.size == 1 && only(res)(_.copy(anyOf = Vector.empty)) =>
@@ -713,6 +1189,13 @@ object Canonical {
         // a pure-disjunction member hoists into the parent's empty anyOf
         // slot, where anyOfAlgebra can distribute the residue through it
         acc = acc.copy(anyOf = sub.anyOf)
+      case sub: Spec.Obj if sub.not.nonEmpty && acc.not.isEmpty &&
+          only(sub)(_.copy(not = None, types = None)) &&
+          (sub.types.isEmpty || acc.types.exists(at =>
+            expand(at).subsetOf(expand(sub.types.get)))) =>
+        // {types T, not X} beside a parent already pinned inside T: the
+        // wrapper adds nothing — the not hoists into the parent slot
+        acc = acc.copy(not = sub.not)
       case sub: Spec.Obj =>
         mergeInto(acc, sub) match {
           case Some(m2) => acc = m2
@@ -721,7 +1204,7 @@ object Canonical {
       case other => keep += other
     }
     o.allOf.foreach(visit)
-    acc.copy(allOf = keep.result())
+    acc.copy(allOf = keep.result().distinct)
   }
 
   /** Conjunction-merge `b` into `a`; None if any keyword of `b` conflicts
@@ -1026,11 +1509,15 @@ object Canonical {
     }
     def kills(nt: Spec): Boolean =
       siblings.exists(sib => sib == nt || subsumes(nt, sib))
-    o.not.exists(kills) ||
-      o.allOf.exists {
-        case m: Spec.Obj if m.not.nonEmpty && only(m)(_.copy(not = None)) => kills(m.not.get)
-        case _ => false
-      }
+    def memberNot(m: Spec): Option[Spec] = m match {
+      // pure not, or not + a `types` wrapper covering the schema's own
+      // types (then the wrapper adds nothing and the not applies always)
+      case mo: Spec.Obj if mo.not.nonEmpty && only(mo)(_.copy(not = None)) => mo.not
+      case mo: Spec.Obj if mo.not.nonEmpty && only(mo)(_.copy(not = None, types = None)) &&
+        o.types.exists(st => expand(st).subsetOf(expand(mo.types.get))) => mo.not
+      case _ => None
+    }
+    o.not.exists(kills) || o.allOf.exists(m => memberNot(m).exists(kills))
   }
 
   /** const/enum whose every candidate value fails the REST of the schema
@@ -1082,9 +1569,9 @@ object Canonical {
     val intGap = intOnly && lo.nonEmpty && hi.nonEmpty && {
       val (l, lx) = lo.get; val (h, hx) = hi.get
       var li = l.setScale(0, BigDecimal.RoundingMode.CEILING)
-      if (lx && li == l) li += 1
+      if (lx && li == l) li = exAdd(li, 1)
       var hiI = h.setScale(0, BigDecimal.RoundingMode.FLOOR)
-      if (hx && hiI == h) hiI -= 1
+      if (hx && hiI == h) hiI = exSub(hiI, 1)
       li > hiI
     }
     val multipleGap = o.multipleOf.exists { m =>
@@ -1092,8 +1579,8 @@ object Canonical {
         val (l, lx) = lo.get; val (h, hx) = hi.get
         // first multiple of m at/above the lower bound (exclusivity-aware)
         var k = l.bigDecimal.divide(m.bigDecimal, 0, java.math.RoundingMode.CEILING)
-        var cand = BigDecimal(k) * m
-        if (lx && cand == l) cand += m
+        var cand = exMul(BigDecimal(k), m)
+        if (lx && cand == l) cand = exAdd(cand, m)
         cand > h || (hx && cand == h)
       }
     }
@@ -1139,17 +1626,42 @@ object Canonical {
             .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)
           (lo, hi) match {
             case (Some((l, lx)), Some((h, hx))) =>
-              var first = BigDecimal(l.bigDecimal.divide(m.bigDecimal, 0,
-                java.math.RoundingMode.CEILING)) * m
-              if (lx && first == l) first += m
-              var last = BigDecimal(h.bigDecimal.divide(m.bigDecimal, 0,
-                java.math.RoundingMode.FLOOR)) * m
-              if (hx && last == h) last -= m
+              var first = exMul(BigDecimal(l.bigDecimal.divide(m.bigDecimal, 0,
+                java.math.RoundingMode.CEILING)), m)
+              if (lx && first == l) first = exAdd(first, m)
+              var last = exMul(BigDecimal(h.bigDecimal.divide(m.bigDecimal, 0,
+                java.math.RoundingMode.FLOOR)), m)
+              if (hx && last == h) last = exSub(last, m)
               if (first == last && (!intOnly || first.isWhole)) Some(JNum(first)) else None
             case _ => None
           }
         }
       else None
+    // a size-zero domain pin admits exactly one value
+    val fromPinnedDomain =
+      if (fromInterval.isEmpty && fromMultiple.isEmpty &&
+          o.const.isEmpty && o.enumVals.isEmpty) {
+        if (o.types == Some(Set(JsonType.String): Set[JsonType]) &&
+            o.maxLength.contains(0L) && o.pattern.isEmpty && o.format.isEmpty &&
+            o.minLength.forall(_ == 0L))
+          Some(JStr(""))
+        else if (o.types == Some(Set(JsonType.Array): Set[JsonType]) &&
+            o.maxItems.contains(0L) && o.minItems.forall(_ == 0L) && o.contains.isEmpty)
+          Some(JArr(Vector.empty))
+        else if (o.types == Some(Set(JsonType.Object): Set[JsonType]) &&
+            o.maxProperties.contains(0L) && o.minProperties.forall(_ == 0L) &&
+            o.required.isEmpty)
+          Some(JObj(Vector.empty))
+        else None
+      } else None
+    val pinnedClear: Spec.Obj => Spec.Obj = x => x.copy(
+      maxLength = None, minLength = None, maxItems = None, minItems = None,
+      maxProperties = None, minProperties = None)
+    fromPinnedDomain match {
+      case Some(c) =>
+        return pinnedClear(o.copy(const = Some(c), types = None))
+      case None => ()
+    }
     (fromInterval.orElse(fromMultiple)) match {
       case Some(c) => o.copy(const = Some(c), types = None,
         minimum = None, maximum = None, multipleOf = None,

@@ -127,17 +127,17 @@ class CanonicalSpec extends AnyFunSuite {
     assert(g3.anyOf.length == 2)
   }
 
-  test("pairwise-disjoint oneOf becomes anyOf (tagged-union shape)") {
-    val g = canon("""{"oneOf":[{"type":"string"},{"type":"integer"},{"type":"array"}]}""")
-      .asInstanceOf[Spec.Obj]
-    assert(g.oneOf.isEmpty && g.anyOf.length == 3)
+  test("pairwise-disjoint oneOf becomes anyOf, then the union folds") {
+    // disjoint type branches: exactly-one ≡ at-least-one ≡ the type union
+    assert(canon("""{"oneOf":[{"type":"string"},{"type":"integer"},{"type":"array"}]}""")
+      == Spec.Obj(types = Some(Set(JsonType.String, JsonType.Integer, JsonType.Array): Set[JsonType])))
     // overlapping branches keep the exactly-one counting semantics
     val g2 = canon("""{"oneOf":[{"minimum":0},{"maximum":10}]}""").asInstanceOf[Spec.Obj]
     assert(g2.oneOf.length == 2 && g2.anyOf.isEmpty)
-    // disjoint by value sets
-    val g3 = canon("""{"oneOf":[{"enum":[1,2]},{"enum":[3,4]}]}""").asInstanceOf[Spec.Obj]
-    assert(g3.oneOf.isEmpty && g3.anyOf.length == 2)
-    // disjoint by numeric ranges (type-pinned)
+    // disjoint by value sets: members union into one set
+    assert(canon("""{"oneOf":[{"enum":[1,2]},{"enum":[3,4]}]}""").asInstanceOf[Spec.Obj]
+      .enumVals.exists(_.length == 4))
+    // disjoint by numeric ranges (type-pinned): the gap keeps them apart
     val g4 = canon("""{"oneOf":[{"type":"number","maximum":4},{"type":"number","minimum":5}]}""")
       .asInstanceOf[Spec.Obj]
     assert(g4.oneOf.isEmpty && g4.anyOf.length == 2)
