@@ -34,6 +34,7 @@ object Canonical {
     if (usesAdvancedReferencing(s1)) s1
     else canon(s1, annotationsMatter = containsUnevaluated(s1)) match {
       case o: Spec.Obj if recursivelyEmpty(o) => Spec.Reject
+      case o: Spec.Obj if !containsUnevaluated(s1) => emissionPartition(o)
       case other => other
     }
   }
@@ -305,6 +306,110 @@ object Canonical {
   private def f64Exact(x: BigDecimal): Boolean =
     try new java.math.BigDecimal(x.toDouble).compareTo(x.bigDecimal) == 0
     catch { case _: Throwable => false }
+
+  /** One-way partitioned EMISSION pass (the reference's view rendering):
+    * after the rewrite fixpoint, an UNTYPED leaf whose constraint
+    * keywords span fewer domains than it admits splits into
+    * anyOf[typed-groups, free-types] — `{minimum:2}` renders as
+    * `anyOf[{type:number,minimum:2}, {type:[...the rest...]}]`. Runs
+    * top-down over the OUTPUT only (never re-enters the rewrite loop, so
+    * it cannot oscillate against the fold rules). Mirrors the
+    * reference's gates: a typed leaf stays compact; numeric bounds past
+    * the i64 projection stay raw; pattern-bearing and value/combinator
+    * leaves are left alone. */
+  private val I64Max = BigDecimal(Long.MaxValue)
+  private def emissionPartition(sp: Spec): Spec = sp match {
+    case o0: Spec.Obj =>
+      // recurse into subschemas first (properties etc. partition too)
+      val o = o0.copy(
+        properties = o0.properties.map { case (k, v) => k -> emissionPartition(v) },
+        items = o0.items.map(emissionPartition),
+        prefixItems = o0.prefixItems.map(emissionPartition),
+        contains = o0.contains.map(emissionPartition),
+        additionalProperties = o0.additionalProperties.map(emissionPartition),
+        dependentSchemas = o0.dependentSchemas.map { case (k, v) => k -> emissionPartition(v) },
+        allOf = o0.allOf.map(emissionPartition),
+        anyOf = o0.anyOf.map(emissionPartition),
+        oneOf = o0.oneOf.map(emissionPartition),
+        ifSpec = o0.ifSpec.map(emissionPartition),
+        thenSpec = o0.thenSpec.map(emissionPartition),
+        elseSpec = o0.elseSpec.map(emissionPartition)) match {
+        // partitioned branches re-nest the union: flatten and dedup the
+        // shared free-types pieces
+        case oo: Spec.Obj if oo.anyOf.nonEmpty =>
+          oo.copy(anyOf = oo.anyOf.flatMap {
+            case b: Spec.Obj if b.anyOf.nonEmpty && only(b)(_.copy(anyOf = Vector.empty)) => b.anyOf
+            case b => Vector(b)
+          }.distinct)
+        case oo => oo
+      }
+      val eligible =
+        o.types.isEmpty && // ONLY untyped leaves partition; typed stay compact
+        o.const.isEmpty && o.enumVals.isEmpty && o.not.isEmpty &&
+        o.allOf.isEmpty && o.anyOf.isEmpty && o.oneOf.isEmpty &&
+        o.ifSpec.isEmpty && o.thenSpec.isEmpty && o.elseSpec.isEmpty &&
+        o.ref.isEmpty && o.dynamicRef.isEmpty && o.recursiveRef.isEmpty &&
+        o.id.isEmpty && o.anchor.isEmpty && o.dynamicAnchor.isEmpty && !o.recursiveAnchor &&
+        o.defs.isEmpty && o.others.isEmpty && o.format.isEmpty && o.pattern.isEmpty &&
+        o.contentEncoding.isEmpty && o.contentMediaType.isEmpty && o.contentSchema.isEmpty &&
+        o.unevaluatedProperties.isEmpty && o.unevaluatedItems.isEmpty
+      if (!eligible) return o
+      val hasNum = o.minimum.nonEmpty || o.maximum.nonEmpty ||
+        o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty || o.multipleOf.nonEmpty
+      val hasStr = o.minLength.nonEmpty || o.maxLength.nonEmpty
+      val hasArr = o.minItems.nonEmpty || o.maxItems.nonEmpty || o.uniqueItems ||
+        o.items.nonEmpty || o.prefixItems.nonEmpty || o.contains.nonEmpty ||
+        o.minContains.nonEmpty || o.maxContains.nonEmpty
+      val hasObj = o.minProperties.nonEmpty || o.maxProperties.nonEmpty ||
+        o.required.nonEmpty || o.properties.nonEmpty || o.patternProperties.nonEmpty ||
+        o.additionalProperties.nonEmpty || o.propertyNames.nonEmpty ||
+        o.dependentRequired.nonEmpty || o.dependentSchemas.nonEmpty
+      // past the modeled integer projection the bound stays raw
+      val boundsModeled = (o.minimum.toSeq ++ o.maximum ++ o.exclusiveMinimum ++
+        o.exclusiveMaximum ++ o.multipleOf).forall(_.abs <= I64Max)
+      if (hasNum && !boundsModeled) return o
+      var constrained = Set.empty[String]
+      val groups = Vector.newBuilder[Spec]
+      if (hasNum) {
+        constrained ++= Set("int", "nonint")
+        groups += numericNormalize(Spec.Obj(
+          types = Some(Set(JsonType.Number): Set[JsonType]),
+          minimum = o.minimum, maximum = o.maximum,
+          exclusiveMinimum = o.exclusiveMinimum, exclusiveMaximum = o.exclusiveMaximum,
+          multipleOf = o.multipleOf))
+      }
+      if (hasStr) {
+        constrained += "string"
+        groups += Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]),
+          minLength = o.minLength.filter(_ > 0L), maxLength = o.maxLength)
+      }
+      if (hasArr) {
+        constrained += "array"
+        groups += Spec.Obj(types = Some(Set(JsonType.Array): Set[JsonType]),
+          minItems = o.minItems.filter(_ > 0L), maxItems = o.maxItems,
+          uniqueItems = o.uniqueItems, items = o.items, prefixItems = o.prefixItems,
+          contains = o.contains, minContains = o.minContains, maxContains = o.maxContains)
+      }
+      if (hasObj) {
+        constrained += "object"
+        groups += Spec.Obj(types = Some(Set(JsonType.Object): Set[JsonType]),
+          minProperties = o.minProperties.filter(_ > 0L), maxProperties = o.maxProperties,
+          required = o.required, properties = o.properties,
+          patternProperties = o.patternProperties,
+          additionalProperties = o.additionalProperties, propertyNames = o.propertyNames,
+          dependentRequired = o.dependentRequired, dependentSchemas = o.dependentSchemas)
+      }
+      val gs = groups.result().filter(g => g != Spec.empty)
+      if (gs.isEmpty) return o
+      val free = allAtoms -- constrained
+      val pieces = typesFromAtoms(free) ++ gs
+      pieces match {
+        case Vector() => o
+        case Vector(one) => one
+        case many => Spec.Obj(anyOf = many)
+      }
+    case other => other
+  }
 
   /** Object-applicator spelling cleanups (the reference's first-IR
     * normalizations): a tautological `additionalProperties: true` /

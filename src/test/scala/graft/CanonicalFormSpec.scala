@@ -24,17 +24,13 @@ class CanonicalFormSpec extends AnyFunSuite {
     * `not:{enum}` spellings an exact-decimal engine decides instead.
     * Every covered class is asserted strictly through the floor. */
   val ratchetFloor: Map[String, Int] = Map(
-    "negation.json" -> 61, "oneof.json" -> 20, "satisfiability.json" -> 17)
+    "negation.json" -> 61, "oneof.json" -> 21, "satisfiability.json" -> 17)
 
   /** Known, understood divergences of the lite normal form, keyed by
     * "file / description"; each entry documents WHY the forms differ while
     * verdict parity still holds (asserted by CanonicalSuiteSpec). Three
     * root causes, all spelling conventions of the reference's f64-based
     * value model that an exact-decimal engine renders differently:
-    *  - TYPE-SPLIT DNF: the reference partitions UNTYPED numeric
-    *    constraints into anyOf[non-number-types, typed-number-leaf]; our
-    *    lite form keeps the compact untyped spelling (same verdicts —
-    *    non-numbers pass the bound vacuously either way).
     *  - F64 SPELLING: the reference rewrites bound/divisor VALUES to the
     *    numbers its f64 validator actually compares against (shortest-
     *    decimal of the f64 reading, mantissa spellings past 2^53); our
@@ -48,9 +44,6 @@ class CanonicalFormSpec extends AnyFunSuite {
   val knownDivergent: Map[String, String] = Map(
     "algebra.json / draft4_union_keeps_integer_guard_branch" ->
       "draft-4 value-identity convention (1 vs 1.0): single 2020-12 dialect folds the guard to const",
-    "numeric.json / ir: an untyped numeric bound constrains only numbers" -> "TYPE-SPLIT DNF",
-    "numeric.json / ir: an untyped fractional bound constrains only numbers" -> "TYPE-SPLIT DNF",
-    "numeric.json / ir: an untyped divisor constrains only numbers" -> "TYPE-SPLIT DNF",
     "numeric.json / a minimum below negative i64 keeps rejecting smaller numbers on the same principle" ->
       "F64 SPELLING (bound rewritten to its f64 reading)",
     "numeric.json / divisors whose least common multiple exceeds finite f64 remain separate" ->

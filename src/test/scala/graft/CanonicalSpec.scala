@@ -8,9 +8,26 @@ class CanonicalSpec extends AnyFunSuite {
 
   def canon(json: String): Spec = Canonical.canonicalize(Spec.parseJson(json))
 
-  test("allOf bound intersection folds") {
+  /** The typed number piece of a partitioned-emission result (untyped
+    * numeric leaves render as anyOf[other-types, {type:number, ...}]). */
+  def numPiece(s: Spec): Spec.Obj = s match {
+    case o: Spec.Obj if o.anyOf.nonEmpty =>
+      o.anyOf.collectFirst {
+        case b: Spec.Obj if b.types.exists(t =>
+          t.contains(JsonType.Number) || t.contains(JsonType.Integer)) => b
+      }.getOrElse(fail(s"no number piece in $s"))
+    case o: Spec.Obj => o
+    case other => fail(s"not an Obj: $other")
+  }
+
+  test("allOf bound intersection folds (partitioned emission)") {
     val got = canon("""{"allOf":[{"minimum":0},{"maximum":10}]}""")
-    assert(got == Spec.Obj(minimum = Some(BigDecimal(0)), maximum = Some(BigDecimal(10))))
+    // untyped bounds render in the reference's partitioned view
+    val np = numPiece(got)
+    assert(np.minimum == Some(BigDecimal(0)) && np.maximum == Some(BigDecimal(10)))
+    val others = got.asInstanceOf[Spec.Obj].anyOf.filterNot(_ eq np)
+    assert(others == Vector(Spec.Obj(types =
+      Some(Set(JsonType.Null, JsonType.Boolean, JsonType.String, JsonType.Array, JsonType.Object): Set[JsonType]))))
   }
 
   test("contradictory bounds become Reject (only when type pins the leaf)") {
@@ -35,9 +52,10 @@ class CanonicalSpec extends AnyFunSuite {
   }
 
   test("anyOf simplification: Reject branches drop, Accept dominates") {
-    // the sole surviving branch replaces the disjunction (singleton unwrap)
-    assert(canon("""{"anyOf":[{"type":"integer","minimum":5,"maximum":3},{"minimum":0}]}""")
-      == Spec.Obj(minimum = Some(BigDecimal(0))))
+    // the sole surviving branch replaces the disjunction, then renders
+    // in the partitioned view
+    assert(numPiece(canon("""{"anyOf":[{"type":"integer","minimum":5,"maximum":3},{"minimum":0}]}"""))
+      .minimum == Some(BigDecimal(0)))
     assert(canon("""{"anyOf":[{"type":"integer","minimum":5,"maximum":3},{"type":"number","minimum":4,"maximum":0}]}""") == Spec.Reject)
     assert(canon("""{"anyOf":[true,{"minimum":0}]}""") == Spec.Accept)
   }
@@ -120,10 +138,11 @@ class CanonicalSpec extends AnyFunSuite {
     assert(canon("""{"anyOf":[{"type":"string"},{"type":"string","minLength":2}]}""")
       == Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType])))
     // numeric bound subsumption
-    assert(canon("""{"anyOf":[{"minimum":0},{"minimum":5,"maximum":9}]}""")
-      == Spec.Obj(minimum = Some(BigDecimal(0))))
-    // NOT dropped when sets are incomparable
-    val g3 = canon("""{"anyOf":[{"minimum":0},{"maximum":10}]}""").asInstanceOf[Spec.Obj]
+    assert(numPiece(canon("""{"anyOf":[{"minimum":0},{"minimum":5,"maximum":9}]}"""))
+      .minimum == Some(BigDecimal(0)))
+    // NOT dropped when the sets are incomparable (a gap between them)
+    val g3 = canon("""{"anyOf":[{"type":"number","maximum":3},{"type":"number","minimum":5}]}""")
+      .asInstanceOf[Spec.Obj]
     assert(g3.anyOf.length == 2)
   }
 
@@ -175,13 +194,17 @@ class CanonicalSpec extends AnyFunSuite {
   }
 
   test("allOf multipleOf pairs fold to the exact rational LCM") {
-    val g1 = canon("""{"allOf":[{"multipleOf":4},{"multipleOf":6}]}""").asInstanceOf[Spec.Obj]
+    val g1 = numPiece(canon("""{"allOf":[{"multipleOf":4},{"multipleOf":6}]}"""))
     assert(g1.multipleOf.contains(BigDecimal(12)) && g1.allOf.isEmpty)
-    val g2 = canon("""{"allOf":[{"multipleOf":0.1},{"multipleOf":0.25}]}""").asInstanceOf[Spec.Obj]
+    val g2 = numPiece(canon("""{"allOf":[{"multipleOf":0.1},{"multipleOf":0.25}]}"""))
     assert(g2.multipleOf.exists(_.compareTo(BigDecimal("0.5")) == 0), g2.multipleOf)
     // verdict preserved: 0.5 and 1.0 are multiples of both; 0.2 is not
     for ((v, want) <- Seq("0.5" -> true, "1.0" -> true, "0.2" -> false, "0.75" -> false))
       assert(Interp.isValid(g2, JsonValue.parse(v)) == want, v)
+    // whole canonical document (incl. the free-types piece) verdict-safe
+    val whole = canon("""{"allOf":[{"multipleOf":0.1},{"multipleOf":0.25}]}""")
+    for ((v, want) <- Seq("0.5" -> true, "0.2" -> false, "\"x\"" -> true))
+      assert(Interp.isValid(whole, JsonValue.parse(v)) == want, v)
     // LCM overshooting the window -> Reject (numeric gap)
     assert(canon("""{"type":"number","allOf":[{"multipleOf":4},{"multipleOf":6}],
       "minimum":1,"maximum":11}""") == Spec.Reject)
@@ -220,9 +243,13 @@ class CanonicalSpec extends AnyFunSuite {
     val got = canon("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
       .asInstanceOf[Spec.Obj]
     assert(got.allOf.isEmpty && got.minimum.isEmpty)
+    // partitioned view: the two number windows plus the free-types piece
+    val numT = Some(Set(JsonType.Number): Set[JsonType])
     assert(got.anyOf.toSet == Set(
-      Spec.Obj(minimum = Some(BigDecimal(0)), maximum = Some(BigDecimal(5))),
-      Spec.Obj(minimum = Some(BigDecimal(10)))))
+      Spec.Obj(types = numT, minimum = Some(BigDecimal(0)), maximum = Some(BigDecimal(5))),
+      Spec.Obj(types = numT, minimum = Some(BigDecimal(10))),
+      Spec.Obj(types = Some(Set(JsonType.Null, JsonType.Boolean, JsonType.String,
+        JsonType.Array, JsonType.Object): Set[JsonType]))))
     // acceptance preserved on witnesses spanning the pieces
     val orig = Spec.parseJson("""{"allOf":[{"minimum":0},{"anyOf":[{"maximum":5},{"minimum":10}]}]}""")
     for (v <- Seq[JsonValue](JNum(BigDecimal(-1)), JNum(BigDecimal(3)),
