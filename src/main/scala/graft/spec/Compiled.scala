@@ -416,7 +416,7 @@ object Compiled {
       val objChecks = Vector.newBuilder[(JObj, List[Registry.Resource]) => Boolean]
       if (o.required.nonEmpty) {
         val req = o.required
-        objChecks += ((ob, _) => req.forall(ob.toMap.contains))
+        objChecks += ((ob, _) => req.forall(ob.has))
       }
       o.minProperties.foreach(n => objChecks += ((ob, _) => ob.fields.length >= n))
       o.maxProperties.foreach(n => objChecks += ((ob, _) => ob.fields.length <= n))
@@ -448,7 +448,7 @@ object Compiled {
       if (o.dependentRequired.nonEmpty) {
         val dr = o.dependentRequired
         objChecks += ((ob, _) => dr.forall { case (k, deps) =>
-          !ob.toMap.contains(k) || deps.forall(ob.toMap.contains)
+          !ob.has(k) || deps.forall(ob.has)
         })
       }
       val objOnly = objChecks.result()
@@ -458,7 +458,7 @@ object Compiled {
       if (objOnly.nonEmpty || depSchemas.nonEmpty) cs += { (v, sc) => v match {
         case ob: JObj =>
           objOnly.forall(_(ob, sc)) &&
-          depSchemas.forall { case (k, c) => !ob.toMap.contains(k) || c(ob, sc) }
+          depSchemas.forall { case (k, c) => !ob.has(k) || c(ob, sc) }
         case _ => true
       } }
 
@@ -524,17 +524,107 @@ object Compiled {
       }
 
       // ---- combinators (same-value edges) ---------------------------------
+      // Tagged-union dispatch (the reference's oneOf specialization): when
+      // branches are pairwise excluded by construction — disjoint declared
+      // `type`s, or a shared required property whose `const` differs per
+      // branch — at most ONE branch can ever validate, so "exactly one" ≡
+      // "the selected branch validates" and the trial loop over all
+      // branches collapses to a single dispatch. This is what makes the
+      // recursive structured-content schema (a deep tag union) linear in
+      // the instance instead of branches×instance.
+      def typeTag(v: JsonValue): Int = v match {
+        case JNull => 0; case _: JBool => 1; case n: JNum => if (n.isIntegral) 2 else 3
+        case _: JStr => 4; case _: JArr => 5; case _: JObj => 6
+      }
+      /** Branch index per type atom (7 atoms), or null if types overlap /
+        * are undeclared anywhere. Integer claims atom 2; number claims 2+3. */
+      def typeDispatch(branches: Vector[Spec]): Option[Array[Int]] = {
+        val table = Array.fill(7)(-1)
+        var ok = true
+        branches.zipWithIndex.foreach { case (b, i) =>
+          b match {
+            case bo: Spec.Obj if bo.types.nonEmpty =>
+              bo.types.get.foreach { t =>
+                val atoms = t match {
+                  case JsonType.Null => Seq(0); case JsonType.Boolean => Seq(1)
+                  case JsonType.Integer => Seq(2); case JsonType.Number => Seq(2, 3)
+                  case JsonType.String => Seq(4); case JsonType.Array => Seq(5)
+                  case JsonType.Object => Seq(6)
+                }
+                atoms.foreach { a =>
+                  if (table(a) != -1) ok = false else table(a) = i
+                }
+              }
+            case _ => ok = false
+          }
+        }
+        if (ok) Some(table) else None
+      }
+      /** (key, const-value → branch index) when every branch requires the
+        * same key pinned to a distinct const. */
+      def constDispatch(branches: Vector[Spec]): Option[(String, Map[String, Int])] = {
+        // per branch: keys the branch REQUIRES pinned to a finite value
+        // set (const or enum)
+        val perBranch: Vector[Map[String, Vector[JsonValue]]] = branches.map {
+          case bo: Spec.Obj =>
+            val m = bo.properties.collect {
+              case (k, ps: Spec.Obj) if bo.required.contains(k) &&
+                  (ps.const.nonEmpty || ps.enumVals.nonEmpty) =>
+                k -> ps.const.map(Vector(_)).getOrElse(ps.enumVals.get)
+            }.toMap
+            if (m.isEmpty) return None
+            m
+          case _ => return None
+        }
+        // any key every branch pins, with PAIRWISE-DISJOINT value sets
+        val shared = perBranch.map(_.keySet).reduce(_ intersect _)
+        shared.iterator.flatMap { key =>
+          val entries = perBranch.zipWithIndex.flatMap { case (m, i) =>
+            m(key).map(c => JsonValue.render(c) -> i)
+          }
+          val table = entries.toMap
+          if (table.size == entries.length) Some((key, table)) else None
+        }.nextOption()
+      }
+      def dispatched(branches: Vector[Spec], exact: Boolean): Option[D] = {
+        val bs = branches.map(m => enterD(m, same(m, sp)))
+        typeDispatch(branches).map[D] { table => (v, sc) =>
+          val i = table(typeTag(v))
+          i >= 0 && bs(i)(v, sc)
+        }.orElse(constDispatch(branches).map[D] { case (key, m) =>
+          (v, sc) => v match {
+            case ob: JObj => ob.get(key).exists { cv =>
+              m.get(JsonValue.render(cv)).exists(i => bs(i)(v, sc))
+            }
+            case _ =>
+              // non-objects fail every branch (each requires the key)
+              // unless a branch admits non-objects — excluded: required
+              // is object-only vacuous... dispatch only safe for objects
+              var n = 0; var i = 0
+              while (n < 2 && i < bs.length) { if (bs(i)(v, sc)) n += 1; i += 1 }
+              if (exact) n == 1 else n >= 1
+          }
+        })
+      }
       o.allOf.foreach(m => cs += enterD(m, same(m, sp)))
       if (o.anyOf.nonEmpty) {
-        val bs = o.anyOf.map(m => enterD(m, same(m, sp)))
-        cs += ((v, sc) => bs.exists(_(v, sc)))
+        dispatched(o.anyOf, exact = false) match {
+          case Some(d) => cs += d
+          case None =>
+            val bs = o.anyOf.map(m => enterD(m, same(m, sp)))
+            cs += ((v, sc) => bs.exists(_(v, sc)))
+        }
       }
       if (o.oneOf.nonEmpty) {
-        val bs = o.oneOf.map(m => enterD(m, same(m, sp)))
-        cs += { (v, sc) =>
-          var n = 0; var i = 0
-          while (n < 2 && i < bs.length) { if (bs(i)(v, sc)) n += 1; i += 1 }
-          n == 1
+        dispatched(o.oneOf, exact = true) match {
+          case Some(d) => cs += d
+          case None =>
+            val bs = o.oneOf.map(m => enterD(m, same(m, sp)))
+            cs += { (v, sc) =>
+              var n = 0; var i = 0
+              while (n < 2 && i < bs.length) { if (bs(i)(v, sc)) n += 1; i += 1 }
+              n == 1
+            }
         }
       }
       o.not.foreach { n => val c = enterD(n, same(n, sp)); cs += ((v, sc) => !c(v, sc)) }

@@ -152,7 +152,7 @@ object Interp {
             graft.compile.Formats.scalaPredicate(f).forall(_(str))))
         } &&
         objCheck(v) { o =>
-          s.required.forall(r => o.toMap.contains(r)) &&
+          s.required.forall(o.has) &&
           s.minProperties.forall(o.fields.length >= _) &&
           s.maxProperties.forall(o.fields.length <= _) &&
           s.properties.forall { case (name, sub) => o.get(name).forall(ok(sub, _)) } &&

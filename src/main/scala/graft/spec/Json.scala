@@ -32,7 +32,29 @@ final case class JStr(value: String) extends JsonValue
 final case class JArr(items: Vector[JsonValue]) extends JsonValue
 final case class JObj(fields: Vector[(String, JsonValue)]) extends JsonValue {
   lazy val toMap: Map[String, JsonValue] = fields.toMap
-  def get(key: String): Option[JsonValue] = toMap.get(key)
+  // building the hash map costs more than scanning for the small objects
+  // that dominate real documents (validator hot path: one fresh JObj per
+  // node per row)
+  def get(key: String): Option[JsonValue] = {
+    if (fields.length <= 8) {
+      var i = 0
+      while (i < fields.length) {
+        if (fields(i)._1 == key) return Some(fields(i)._2)
+        i += 1
+      }
+      None
+    } else toMap.get(key)
+  }
+  def has(key: String): Boolean = {
+    if (fields.length <= 8) {
+      var i = 0
+      while (i < fields.length) {
+        if (fields(i)._1 == key) return true
+        i += 1
+      }
+      false
+    } else toMap.contains(key)
+  }
 }
 
 /** The seven JSON types (`jsonschema-value/src/types.rs:19-27`). */
