@@ -220,6 +220,20 @@ object Canonical {
     if (o.types.exists(ts => ts == (Set(JsonType.Number): Set[JsonType])) &&
         o.multipleOf.exists(m => m.signum > 0 && m.isWhole))
       o = o.copy(types = Some(Set(JsonType.Integer): Set[JsonType]))
+    // vacuity pruning: a scalar keyword whose domain the type set
+    // excludes can never bind — it drops (non-members pass it anyway)
+    o.types.foreach { ts =>
+      val atoms = atomsOf(ts)
+      if (!atoms("string"))
+        o = o.copy(minLength = None, maxLength = None, pattern = None)
+      if (!atoms("int") && !atoms("nonint"))
+        o = o.copy(minimum = None, maximum = None, exclusiveMinimum = None,
+          exclusiveMaximum = None, multipleOf = None)
+      if (!atoms("array"))
+        o = o.copy(minItems = None, maxItems = None, uniqueItems = false)
+      if (!atoms("object"))
+        o = o.copy(minProperties = None, maxProperties = None, required = Vector.empty)
+    }
     val intOnly = o.types.exists(ts => ts.nonEmpty && ts.subsetOf(Set(JsonType.Integer): Set[JsonType]))
     if (intOnly && (o.minimum.nonEmpty || o.maximum.nonEmpty ||
         o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty)) {
@@ -965,9 +979,26 @@ object Canonical {
     }
     // pairwise-disjoint ⇒ anyOf (exactly-one ≡ at-least-one)
     if (live.length >= 2 && live.combinations(2).forall(p => disjoint(p(0), p(1)))) {
-      if (o.anyOf.isEmpty) o.copy(oneOf = Vector.empty, anyOf = live)
-      else o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = live))
-    } else o.copy(oneOf = live)
+      if (o.anyOf.isEmpty) return o.copy(oneOf = Vector.empty, anyOf = live)
+      else return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = live))
+    }
+    // exact encoding via complements: oneOf[B…] = ∨ᵢ (Bᵢ ∧ ∧_{j≠i} ¬Bⱼ)
+    // — only for annotation-free scalar branches whose negations all
+    // push to positive spellings
+    if (live.length >= 2 && live.length <= 3 &&
+        live.forall { case b: Spec.Obj => scalarLeaf(b); case _ => false }) {
+      val negs = live.map(pushNot)
+      if (negs.forall(_.nonEmpty)) {
+        val pieces = live.indices.toVector.map { i =>
+          val conj = live(i) +: live.indices.collect {
+            case j if j != i => negs(j).get
+          }.toVector
+          canon(Spec.Obj(allOf = conj), false)
+        }
+        return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = pieces))
+      }
+    }
+    o.copy(oneOf = live)
   }
 
   /** Does any subschema carry unevaluatedProperties/unevaluatedItems? */

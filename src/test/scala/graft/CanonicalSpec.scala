@@ -150,9 +150,21 @@ class CanonicalSpec extends AnyFunSuite {
     // disjoint type branches: exactly-one ≡ at-least-one ≡ the type union
     assert(canon("""{"oneOf":[{"type":"string"},{"type":"integer"},{"type":"array"}]}""")
       == Spec.Obj(types = Some(Set(JsonType.String, JsonType.Integer, JsonType.Array): Set[JsonType])))
-    // overlapping branches keep the exactly-one counting semantics
+    // overlapping branches take the exact encoding: the non-shared rays
+    // (reference oneof.json "overlapping windows keep exactly the
+    // non-shared rays") — non-numbers match BOTH vacuous branches (count
+    // 2) so only numbers outside the overlap survive
     val g2 = canon("""{"oneOf":[{"minimum":0},{"maximum":10}]}""").asInstanceOf[Spec.Obj]
-    assert(g2.oneOf.length == 2 && g2.anyOf.isEmpty)
+    assert(g2.oneOf.isEmpty)
+    val numT2 = Some(Set(JsonType.Number): Set[JsonType])
+    assert(g2.anyOf.toSet == Set(
+      Spec.Obj(types = numT2, exclusiveMinimum = Some(BigDecimal(10))),
+      Spec.Obj(types = numT2, exclusiveMaximum = Some(BigDecimal(0)))))
+    // verdict preserved across the encoding
+    val orig2 = Spec.parseJson("""{"oneOf":[{"minimum":0},{"maximum":10}]}""")
+    for (v <- Seq[JsonValue](JNum(BigDecimal(-5)), JNum(BigDecimal(5)),
+        JNum(BigDecimal(15)), JStr("x")))
+      assert(Interp.isValid(orig2, v) == Interp.isValid(g2, v), JsonValue.render(v))
     // disjoint by value sets: members union into one set
     assert(canon("""{"oneOf":[{"enum":[1,2]},{"enum":[3,4]}]}""").asInstanceOf[Spec.Obj]
       .enumVals.exists(_.length == 4))
