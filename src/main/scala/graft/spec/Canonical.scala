@@ -1348,8 +1348,17 @@ object Canonical {
   private def mergeInto(a: Spec.Obj, b: Spec.Obj): Option[Spec.Obj] = {
     // only scalar-constraint keywords + required merge; applicators and
     // combinators don't (they'd need semantic intersection)
+    // DISJOINT property maps conjoin by concatenation — but only when
+    // neither side carries additionalProperties/unevaluated*, whose
+    // coverage is defined BY the property key set (hoisting a member's
+    // keys into the parent would shrink what the parent's shield sees)
+    val propsMergeable = b.properties.nonEmpty &&
+      a.additionalProperties.isEmpty && b.additionalProperties.isEmpty &&
+      a.unevaluatedProperties.isEmpty && b.unevaluatedProperties.isEmpty &&
+      a.patternProperties.isEmpty && b.patternProperties.isEmpty &&
+      b.properties.forall { case (k, _) => !a.properties.exists(_._1 == k) }
     val bHasUnmergeable =
-      b.properties.nonEmpty || b.patternProperties.nonEmpty ||
+      (b.properties.nonEmpty && !propsMergeable) || b.patternProperties.nonEmpty ||
       b.additionalProperties.nonEmpty || b.propertyNames.nonEmpty ||
       b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
       b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
@@ -1418,6 +1427,7 @@ object Canonical {
       minProperties = maxOfL(a.minProperties, b.minProperties),
       maxProperties = minOfL(a.maxProperties, b.maxProperties),
       required = (a.required ++ b.required).distinct,
+      properties = a.properties ++ (if (propsMergeable) b.properties else Vector.empty),
       minContains = maxOfL(a.minContains, b.minContains),
       maxContains = minOfL(a.maxContains, b.maxContains),
     ))
