@@ -171,21 +171,39 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-entry host evidence: steal fraction over the entry's window plus
+    // the 1-min loadavg right after it, so a single outlier rep is
+    // attributable to the host without cross-run forensics
+    val entryHost = scala.collection.mutable.LinkedHashMap[String, (Double, String)]()
     // min over reps: steal-robust estimator on the shared microVM
     // (BENCH_SCALING.md); ALL rep times are recorded in the JSON so a
-    // slow canonical number is distinguishable from host interference
+    // slow canonical number is distinguishable from host interference.
+    // A rep that throws poisons the entry status permanently and its wall
+    // time is excluded from the min (only successful reps count).
     def timed(name: String, reps: Int)(f: => Unit): Unit = {
-      val ts = (1 to reps).map { _ =>
+      val e0 = cpuTicks()
+      var failed = false
+      val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { f; status(name) = "ok" }
-        catch { case e: Throwable =>
-          status(name) = s"error:${e.getClass.getSimpleName}"
-          System.err.println(s"[bench] $name failed: $e")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { f; true }
+          catch { case e: Throwable =>
+            failed = true
+            status(name) = s"error:${e.getClass.getSimpleName}"
+            System.err.println(s"[bench] $name failed: $e")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) Some(dt) else None
       }
-      repTimes(name) = ts
-      results(name) = ts.min
+      if (!failed) status(name) = "ok"
+      val prev = repTimes.getOrElse(name, Seq.empty)
+      repTimes(name) = prev ++ ts
+      if (ts.nonEmpty || !results.contains(name))
+        results(name) = (prev ++ ts).minOption.getOrElse(-1.0) // -1 = every rep failed
+      val e1 = cpuTicks()
+      val dTot = math.max(1L, e1._1 - e0._1)
+      entryHost(name) = ((e1._2 - e0._2).toDouble / dTot, loadavg())
     }
 
     // warm to steady state before timing: the codegen'd validation classes
@@ -196,7 +214,32 @@ object Bench {
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "3").toInt
     var rows = 0L
     (1 to warmups).foreach(_ => validateClips(spark, clipsPath))
-    timed("clips_full_suite", 3) { rows = validateClips(spark, clipsPath) }
+    // Degradation-aware measurement (VERDICT_r03 next-round #1): the r02 and
+    // r03 driver records both landed in host-interference windows. After the
+    // timed reps, re-run the raw no-Spark kernel; if the hardware itself got
+    // >1.5x slower during the window (or steal >1%), the window was dirty —
+    // re-measure (bounded retries), recording EVERY attempt's reps and
+    // calibrations so the canonical number is provably clean or provably
+    // the best this host allowed.
+    val clipsAttempts = scala.collection.mutable.ListBuffer[String]()
+    var rawPre = rawBefore
+    var cleanWindow = false
+    var attempt = 0
+    val maxAttempts = 3 // 1 initial + 2 retries
+    while (!cleanWindow && attempt < maxAttempts) {
+      attempt += 1
+      timed("clips_full_suite", 3) { rows = validateClips(spark, clipsPath) }
+      val rawPost = rawKernel32()
+      val steal = entryHost("clips_full_suite")._1
+      cleanWindow = rawPost / rawPre <= 1.5 && steal <= 0.01
+      clipsAttempts += {
+        val lastReps = repTimes("clips_full_suite").takeRight(3)
+        f"""{"reps":[${lastReps.map(t => f"$t%.3f").mkString(",")}],""" +
+          f""""raw_kernel_before":$rawPre%.3f,"raw_kernel_after":$rawPost%.3f,""" +
+          f""""steal_frac":$steal%.4f,"clean":$cleanWindow}"""
+      }
+      rawPre = rawPost
+    }
     if (sys.env.contains("SPARK_GRAFT_CLIPS_ONLY")) {
       val clipsPerSec0 = rows / results("clips_full_suite")
       println(f"""{"clips_only":true,"sec":${results("clips_full_suite")}%.3f,"clips_per_sec":$clipsPerSec0%.0f,"reps":[${repTimes("clips_full_suite").map(t => f"$t%.3f").mkString(",")}]}""")
@@ -229,10 +272,14 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val st = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val eh = entryHost.map { case (k, (steal, load)) =>
+      "\"" + k + f"""\":{"steal_frac":$steal%.4f,"loadavg_after":"$load"}"""
+    }.mkString("{", ",", "}")
     val host = f""""host":{"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       f""""steal_frac":$stealFrac%.4f,"iowait_frac":$iowaitFrac%.4f,""" +
       f""""raw_kernel32_sec_before":$rawBefore%.3f,"raw_kernel32_sec_after":$rawAfter%.3f,""" +
-      f""""fixture_reused":$fixtureExisted}"""
+      f""""fixture_reused":$fixtureExisted},""" +
+      s""""clips_attempts":[${clipsAttempts.mkString(",")}],"entry_host":$eh"""
     val total = results.values.sum
     val nErr = status.values.count(_ != "ok")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f}""")
