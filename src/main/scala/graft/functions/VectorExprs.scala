@@ -124,6 +124,59 @@ object VecFns {
     new GenericArrayData(out)
   }
 
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Double]]()
+
+  /** Flat hyperplane matrix for banded sign-LSH, bands·bits·dim doubles,
+    * deterministic per (dim, bits, bands, seed). Band bd's planes are drawn
+    * from Random(seed + bd·7919) in plane-major order — bit-identical to
+    * drawing each band's planes independently, so single-band callers and
+    * the banded kernel agree on bucket values. */
+  def lshPlanes(dim: Int, bits: Int, bands: Int, seed: Long): Array[Double] =
+    planeCache.computeIfAbsent((dim, bits, bands, seed), { case (d, bt, bd, s) =>
+      val out = new Array[Double](bd * bt * d)
+      var band = 0
+      while (band < bd) {
+        val rnd = new scala.util.Random(s + band * 7919L)
+        var i = 0
+        val off = band * bt * d
+        while (i < bt * d) { out(off + i) = rnd.nextGaussian(); i += 1 }
+        band += 1
+      }
+      out
+    })
+
+  /** All `bands` sign-LSH bucket ids of a vector in ONE pass: bit i of band
+    * bd's bucket is the sign of the projection onto plane (bd, i). Replaces
+    * a bands·bits-node expression tree of dot_product calls (each carrying
+    * a dim-element literal array) whose codegen compiled for seconds and
+    * was re-planned per plan subtree. */
+  def signLshBuckets(v: ArrayData, dim: Int, bits: Int, bands: Int,
+                     seed: Long, vF: Boolean): ArrayData = {
+    val planes = lshPlanes(dim, bits, bands, seed)
+    val n = math.min(v.numElements(), dim)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = if (vF) v.getFloat(i).toDouble else v.getDouble(i); i += 1 }
+    val out = new Array[Long](bands)
+    var bd = 0
+    while (bd < bands) {
+      var bucket = 0L
+      var bi = 0
+      while (bi < bits) {
+        val off = (bd * bits + bi) * dim
+        var s = 0d
+        var j = 0
+        while (j < n) { s += x(j) * planes(off + j); j += 1 }
+        if (s >= 0d) bucket |= (1L << bi)
+        bi += 1
+      }
+      out(bd) = bucket
+      bd += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0d
@@ -375,6 +428,24 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryVecExpre
     copy(left = l, right = r)
 }
 
+/** sign_lsh_buckets(vec, dim, bits, bands, seed) → array<long> of length
+  * `bands`: the banded sign-LSH bucket ids, one compiled pass. */
+case class SignLshBuckets(child: Expression, dim: Int, bits: Int,
+                          bands: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VecFns.signLshBuckets(input.asInstanceOf[ArrayData], dim, bits, bands, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecFns.signLshBuckets($c, $dim, $bits, $bands, ${seed}L, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryVecExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecFns.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
@@ -403,4 +474,6 @@ object vecexprs {
     ColumnBridge.toCol(CosineSim(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.toCol(DotProduct(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+  def sign_lsh_buckets(v: Column, dim: Int, bits: Int, bands: Int, seed: Long = 42L): Column =
+    ColumnBridge.toCol(SignLshBuckets(ColumnBridge.toExpr(v), dim, bits, bands, seed))
 }

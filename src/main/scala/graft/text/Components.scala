@@ -148,7 +148,7 @@ object Components {
     * scale when the dup fraction is small. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, threshold: Double = 0.5,
-                  maxDocFreq: Int = 0): DataFrame = {
+                  maxDocFreq: Int = 10000): DataFrame = {
     val losers = jaccardDupGroups(df, idCol, textCol, n, threshold, maxDocFreq)
       .where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -161,7 +161,7 @@ object Components {
     * downstream = filter `id =!= component`. */
   def jaccardDupGroups(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxDocFreq: Int = 0): DataFrame = {
+                       maxDocFreq: Int = 10000): DataFrame = {
     val pairs = TextOps.ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
     val cc = connectedComponents(pairs)
     val sizes = cc.groupBy("component").agg(count(lit(1)).cast(LongType).as("group_size"))

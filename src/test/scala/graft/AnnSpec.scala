@@ -151,4 +151,28 @@ class AnnSpec extends AnyFunSuite {
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall over ${exact.size} pairs")
   }
+
+  test("candidate-volume contract: per-(band,bucket) cap hard-bounds LSH candidates at threshold 0.4") {
+    // VERDICT_r03 #2: low-threshold sign-LSH has few buckets/band, so the
+    // bucket self-join trends quadratic unless capped. Adversarial input:
+    // many IDENTICAL vectors — every band puts all of them in ONE bucket,
+    // the worst skew possible. The cap must bound candidates regardless.
+    val d = 16
+    val same = (0 until 200).map(i => Vec(i.toLong, (0 until d).map(j => (j + 1).toFloat)))
+    val df = same.toDF()
+    val (bits, bands) = Ann.deriveLshParams(0.4, targetRecall = 0.95)
+    val cap = 10
+    val n = Ann.lshCandidatePairs(df, "id", "v", d, bits, bands, maxBucketSize = cap).count()
+    val bound = bands.toLong * (1L << bits) * cap * (cap - 1) / 2
+    assert(n <= bound, s"$n candidates exceed bound $bound (bits=$bits bands=$bands cap=$cap)")
+    // uncapped, the same input generates the full quadratic 200·199/2 pairs
+    val un = Ann.lshCandidatePairs(df, "id", "v", d, bits, bands, maxBucketSize = 0).count()
+    assert(un == 200L * 199 / 2, s"uncapped should be all-pairs, got $un")
+    assert(n < un, s"cap did not reduce candidate volume ($n vs $un)")
+    // band-salted survivor ranking: with the cap on, the capped path still
+    // verifies exactly — precision holds on whatever candidates survive
+    val pairs = Ann.cosineNearDups(df, "id", "v", d, threshold = 0.4,
+      maxBucketSize = cap).collect()
+    assert(pairs.forall(_.getDouble(2) == 1.0)) // identical vectors ⇒ cos 1
+  }
 }

@@ -89,4 +89,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(byId.keySet == Set(1L, 2L, 3L))
     assert(byId.values.toSet == Set((1L, 3L)))
   }
+
+  test("planted-pair recall holds with the df-cap BINDING (VERDICT_r03 #8)") {
+    // every doc carries the same stop-phrase prefix (a hot shingle shared
+    // by all 60 docs); each planted pair additionally shares discriminative
+    // content. With maxDocFreq = 10 the stop-phrase shingles are dropped
+    // from candidate generation, yet every planted pair must still be
+    // found through its own shingles.
+    val stop = "breaking news update report from the wire desk"
+    val rng = new scala.util.Random(3)
+    def words(k: Int) = Seq.fill(k)("w" + rng.nextInt(100000)).mkString(" ")
+    val pairs = (0 until 15).map { p =>
+      val body = words(12)
+      (p, s"$stop $body", s"$stop $body " + words(1))
+    }
+    val loners = (0 until 30).map(i => (1000L + i, s"$stop ${words(12)}"))
+    val docs = (pairs.flatMap { case (p, a, b) => Seq((p * 2L, a), (p * 2L + 1, b)) } ++ loners)
+      .toDF("id", "text")
+    // threshold 0.4: under the cap the reported jaccard is a lower bound
+    // (hot common shingles excluded from BOTH common and, implicitly,
+    // union — here 12/25 = 0.48 for a true 18/19 ≈ 0.95 pair)
+    val grouped = Components.jaccardDupGroups(docs, "id", "text",
+        n = 3, threshold = 0.4, maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 15).foreach { p =>
+      val (a, b) = (p * 2L, p * 2L + 1)
+      assert(grouped.contains(a) && grouped(a) == grouped(b),
+        s"planted pair ($a,$b) not grouped under binding cap")
+    }
+    assert(!grouped.keySet.exists(_ >= 1000L), "stop-phrase-only docs must not group")
+  }
 }
