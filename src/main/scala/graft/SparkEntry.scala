@@ -199,6 +199,44 @@ object SparkEntry {
         .orderBy(col("schema_path"), col("keyword"))
     }),
 
+    // -- FORMAT family through the driver's hard signal (VERDICT_r03 #3):
+    //    email/uuid/date/ipv4 strings derived DETERMINISTICALLY from events
+    //    (identical derivation in the oracle SQL, with planted invalids —
+    //    bad TLD-less emails, broken uuid separator, month 13/14 and
+    //    Feb-30/31 calendar dates, octets > 255 and leading zeros), then
+    //    validated by the real `format` path (Formats.scala predicates).
+    "q_validate_formats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val m = md5(col("event_id").cast(StringType).cast("binary"))
+      def seg(from: Int, len: Int) = substring(m, from, len)
+      val uuidOk = concat_ws("-", seg(1, 8), seg(9, 4), seg(13, 4), seg(17, 4), seg(21, 12))
+      val uuidBad = concat(seg(1, 8), lit("_"), seg(9, 4), lit("-"), seg(13, 4),
+        lit("-"), seg(17, 4), lit("-"), seg(21, 12))
+      val derived = ev.select(
+        concat(lit("u"), col("user_id").cast(StringType),
+          when(col("event_id") % 7 === 0, lit("@@ex")).otherwise(lit("@ex")),
+          lit(".com")).as("email"),
+        when(col("event_id") % 5 === 0, uuidBad).otherwise(uuidOk).as("uuid"),
+        concat(lit("2024-"), lpad((col("event_id") % 14 + 1).cast(StringType), 2, "0"),
+          lit("-"), lpad((col("event_id") % 5 + 27).cast(StringType), 2, "0")).as("date"),
+        when(col("event_id") % 9 === 0, lit("01.2.3.4"))
+          .otherwise(concat((col("event_id") % 300).cast(StringType), lit("."),
+            (col("user_id") % 256).cast(StringType), lit(".0.1"))).as("ip"))
+      val spec = """{
+        "properties": {
+          "email": {"type": "string", "format": "email"},
+          "uuid":  {"type": "string", "format": "uuid"},
+          "date":  {"type": "string", "format": "date"},
+          "ip":    {"type": "string", "format": "ipv4"}
+        }
+      }"""
+      Validation.compile(spec, derived.schema)
+        .checkStats(derived)
+        .where(col("keyword") === "format")
+        .select(col("keyword"), col("schema_path"), col("violations"))
+        .orderBy(col("schema_path"))
+    }),
+
     // -- text: token counting ---------------------------------------------
     // n_tokens cast to long: DuckDB len() yields BIGINT and the driver's
     // hash does not normalize int32 vs int64 (CORRECTNESS_r01 dtype red)
@@ -605,6 +643,43 @@ object SparkEntry {
         UNION ALL SELECT 'type', '/properties/item/type',
                count(*) FILTER (WHERE false) FROM lineitem
       ) ORDER BY schema_path, keyword""",
+
+    "q_validate_formats" -> """
+      WITH d AS (
+        SELECT
+          'u' || user_id::VARCHAR ||
+            (CASE WHEN event_id % 7 = 0 THEN '@@ex' ELSE '@ex' END) || '.com' AS email,
+          (CASE WHEN event_id % 5 = 0
+            THEN substr(md5(event_id::VARCHAR),1,8) || '_' || substr(md5(event_id::VARCHAR),9,4)
+                 || '-' || substr(md5(event_id::VARCHAR),13,4) || '-' || substr(md5(event_id::VARCHAR),17,4)
+                 || '-' || substr(md5(event_id::VARCHAR),21,12)
+            ELSE substr(md5(event_id::VARCHAR),1,8) || '-' || substr(md5(event_id::VARCHAR),9,4)
+                 || '-' || substr(md5(event_id::VARCHAR),13,4) || '-' || substr(md5(event_id::VARCHAR),17,4)
+                 || '-' || substr(md5(event_id::VARCHAR),21,12) END) AS uu,
+          '2024-' || lpad((event_id % 14 + 1)::VARCHAR, 2, '0')
+                  || '-' || lpad((event_id % 5 + 27)::VARCHAR, 2, '0') AS dt,
+          (CASE WHEN event_id % 9 = 0 THEN '01.2.3.4'
+            ELSE (event_id % 300)::VARCHAR || '.' || (user_id % 256)::VARCHAR || '.0.1' END) AS ip
+        FROM events)
+      SELECT * FROM (
+        SELECT 'format' AS keyword, '/properties/date/format' AS schema_path,
+               count(*) FILTER (WHERE NOT (length(dt) = 10
+                 AND regexp_matches(dt, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                 AND try_cast(dt AS DATE) IS NOT NULL))::BIGINT AS violations
+        FROM d
+        UNION ALL SELECT 'format', '/properties/email/format',
+               count(*) FILTER (WHERE NOT regexp_matches(email,
+                 '^[A-Za-z0-9.!#$%&''*+/=?^_`{|}~-]+@[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$'))::BIGINT
+        FROM d
+        UNION ALL SELECT 'format', '/properties/ip/format',
+               count(*) FILTER (WHERE NOT (length(ip) BETWEEN 7 AND 15
+                 AND regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')))::BIGINT
+        FROM d
+        UNION ALL SELECT 'format', '/properties/uuid/format',
+               count(*) FILTER (WHERE NOT (length(uu) = 36
+                 AND regexp_matches(uu, '^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$')))::BIGINT
+        FROM d)
+      ORDER BY schema_path""",
 
     "q_validate_combinators" -> """
       SELECT * FROM (
