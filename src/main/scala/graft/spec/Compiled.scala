@@ -377,8 +377,24 @@ object Compiled {
           ts.contains(t) || (t == JsonType.Integer && hasNum)
         }
       }
-      o.const.foreach { c => cs += ((v, _) => JsonValue.equal(c, v)) }
-      o.enumVals.foreach { es => cs += ((v, _) => es.exists(JsonValue.equal(_, v))) }
+      o.const.foreach {
+        // string consts (tag discriminators) compare raw — no deep-equal
+        // dispatch per row
+        case JStr(s) => cs += ((v, _) => v match {
+          case JStr(x) => x == s
+          case _ => false
+        })
+        case c => cs += ((v, _) => JsonValue.equal(c, v))
+      }
+      o.enumVals.foreach { es =>
+        if (es.nonEmpty && es.forall(_.isInstanceOf[JStr])) {
+          val set = es.iterator.map(_.asInstanceOf[JStr].value).toSet
+          cs += ((v, _) => v match {
+            case JStr(x) => set.contains(x)
+            case _ => false
+          })
+        } else cs += ((v, _) => es.exists(JsonValue.equal(_, v)))
+      }
 
       if (o.minimum.nonEmpty || o.maximum.nonEmpty || o.exclusiveMinimum.nonEmpty ||
           o.exclusiveMaximum.nonEmpty || o.multipleOf.nonEmpty) {
@@ -415,15 +431,43 @@ object Compiled {
       // ---- object keywords ------------------------------------------------
       val objChecks = Vector.newBuilder[(JObj, List[Registry.Resource]) => Boolean]
       if (o.required.nonEmpty) {
-        val req = o.required
-        objChecks += ((ob, _) => req.forall(ob.has))
+        val req = o.required.toArray
+        objChecks += { (ob, _) =>
+          var i = 0; var ok = true
+          while (ok && i < req.length) { ok = ob.has(req(i)); i += 1 }
+          ok
+        }
       }
       o.minProperties.foreach(n => objChecks += ((ob, _) => ob.fields.length >= n))
       o.maxProperties.foreach(n => objChecks += ((ob, _) => ob.fields.length <= n))
+      // properties + additionalProperties fuse into ONE instance-major walk
+      // when patternProperties is absent: `properties` only constrains
+      // PRESENT fields, so walking the instance's fields against a
+      // compile-time hash map is O(instance) instead of O(schema-props ×
+      // instance) linear scans with an Option per lookup — and the
+      // additionalProperties check is exactly "the fields that miss the
+      // map", so a second walk with a second lookup per field is free to
+      // merge (tag-union object schemas pay this on every row)
+      val fuseAp = o.properties.nonEmpty && o.additionalProperties.nonEmpty &&
+        o.patternProperties.isEmpty
       if (o.properties.nonEmpty) {
-        val props: Vector[(String, D)] =
-          o.properties.map { case (k, sub) => (k, enterD(sub, descend(sub))) }
-        objChecks += ((ob, sc) => props.forall { case (k, c) => ob.get(k).forall(c(_, sc)) })
+        val propMap = new java.util.HashMap[String, D](o.properties.length * 2)
+        o.properties.foreach { case (k, sub) => propMap.put(k, enterD(sub, descend(sub))) }
+        val apC: D = if (fuseAp) {
+          val ap = o.additionalProperties.get
+          enterD(ap, descend(ap))
+        } else null
+        objChecks += { (ob, sc) =>
+          val fs = ob.fields
+          var i = 0; var ok = true
+          while (ok && i < fs.length) {
+            val c = propMap.get(fs(i)._1)
+            if (c != null) ok = c(fs(i)._2, sc)
+            else if (apC != null) ok = apC(fs(i)._2, sc)
+            i += 1
+          }
+          ok
+        }
       }
       if (o.patternProperties.nonEmpty) {
         val pats: Vector[(Pattern, D)] = o.patternProperties.map { case (p, sub) =>
@@ -433,13 +477,25 @@ object Compiled {
           ob.fields.forall { case (k, value) => !re.matcher(k).find() || c(value, sc) }
         })
       }
-      o.additionalProperties.foreach { ap =>
+      if (!fuseAp) o.additionalProperties.foreach { ap =>
         val c = enterD(ap, descend(ap))
         val names = o.propertyNameSet
         val pats = o.patternProperties.map(p => Pattern.compile(EcmaRegex.translate(p._1)))
-        objChecks += ((ob, sc) => ob.fields.forall { case (k, value) =>
-          names.contains(k) || pats.exists(_.matcher(k).find()) || c(value, sc)
-        })
+        if (pats.isEmpty)
+          objChecks += { (ob, sc) =>
+            val fs = ob.fields
+            var i = 0; var ok = true
+            while (ok && i < fs.length) {
+              val kv = fs(i)
+              if (!names.contains(kv._1)) ok = c(kv._2, sc)
+              i += 1
+            }
+            ok
+          }
+        else
+          objChecks += ((ob, sc) => ob.fields.forall { case (k, value) =>
+            names.contains(k) || pats.exists(_.matcher(k).find()) || c(value, sc)
+          })
       }
       o.propertyNames.foreach { pn =>
         val c = enterD(pn, descend(pn))
@@ -451,14 +507,15 @@ object Compiled {
           !ob.has(k) || deps.forall(ob.has)
         })
       }
-      val objOnly = objChecks.result()
+      val objOnly = objChecks.result().toArray
       // dependentSchemas validates the WHOLE value (same-value edge)
       val depSchemas: Vector[(String, D)] =
         o.dependentSchemas.map { case (k, sub) => (k, enterD(sub, same(sub, sp))) }
       if (objOnly.nonEmpty || depSchemas.nonEmpty) cs += { (v, sc) => v match {
         case ob: JObj =>
-          objOnly.forall(_(ob, sc)) &&
-          depSchemas.forall { case (k, c) => !ob.has(k) || c(ob, sc) }
+          var i = 0; var ok = true
+          while (ok && i < objOnly.length) { ok = objOnly(i)(ob, sc); i += 1 }
+          ok && depSchemas.forall { case (k, c) => !ob.has(k) || c(ob, sc) }
         case _ => true
       } }
 
@@ -493,9 +550,12 @@ object Compiled {
           n >= lo && hi.forall(n <= _)
         })
       }
-      val arrOnly = arrChecks.result()
+      val arrOnly = arrChecks.result().toArray
       if (arrOnly.nonEmpty) cs += { (v, sc) => v match {
-        case JArr(a) => arrOnly.forall(_(a, sc))
+        case JArr(a) =>
+          var i = 0; var ok = true
+          while (ok && i < arrOnly.length) { ok = arrOnly(i)(a, sc); i += 1 }
+          ok
         case _ => true
       } }
 
@@ -587,14 +647,28 @@ object Compiled {
         }.nextOption()
       }
       def dispatched(branches: Vector[Spec], exact: Boolean): Option[D] = {
-        val bs = branches.map(m => enterD(m, same(m, sp)))
+        val bs = branches.map(m => enterD(m, same(m, sp))).toArray
         typeDispatch(branches).map[D] { table => (v, sc) =>
           val i = table(typeTag(v))
           i >= 0 && bs(i)(v, sc)
         }.orElse(constDispatch(branches).map[D] { case (key, m) =>
+          // tag consts are almost always strings: dispatch on the RAW
+          // string (no per-row JsonValue.render StringBuilder); non-string
+          // tag values go through the rendered table
+          val strTable = new java.util.HashMap[String, Int]()
+          m.foreach { case (r, i) =>
+            if (r.length >= 2 && r.charAt(0) == '"' && !r.contains('\\'))
+              strTable.put(r.substring(1, r.length - 1), i)
+          }
           (v, sc) => v match {
-            case ob: JObj => ob.get(key).exists { cv =>
-              m.get(JsonValue.render(cv)).exists(i => bs(i)(v, sc))
+            case ob: JObj => ob.getOrNull(key) match {
+              case null => false
+              case JStr(s) =>
+                val i = strTable.getOrDefault(s, -1)
+                if (i >= 0) bs(i)(v, sc)
+                else m.get(JsonValue.render(JStr(s))).exists(j => bs(j)(v, sc))
+              case cv =>
+                m.get(JsonValue.render(cv)).exists(i => bs(i)(v, sc))
             }
             case _ =>
               // non-objects fail every branch (each requires the key)
@@ -611,15 +685,19 @@ object Compiled {
         dispatched(o.anyOf, exact = false) match {
           case Some(d) => cs += d
           case None =>
-            val bs = o.anyOf.map(m => enterD(m, same(m, sp)))
-            cs += ((v, sc) => bs.exists(_(v, sc)))
+            val bs = o.anyOf.map(m => enterD(m, same(m, sp))).toArray
+            cs += { (v, sc) =>
+              var i = 0; var hit = false
+              while (!hit && i < bs.length) { hit = bs(i)(v, sc); i += 1 }
+              hit
+            }
         }
       }
       if (o.oneOf.nonEmpty) {
         dispatched(o.oneOf, exact = true) match {
           case Some(d) => cs += d
           case None =>
-            val bs = o.oneOf.map(m => enterD(m, same(m, sp)))
+            val bs = o.oneOf.map(m => enterD(m, same(m, sp))).toArray
             cs += { (v, sc) =>
               var n = 0; var i = 0
               while (n < 2 && i < bs.length) { if (bs(i)(v, sc)) n += 1; i += 1 }

@@ -45,6 +45,17 @@ final case class JObj(fields: Vector[(String, JsonValue)]) extends JsonValue {
       None
     } else toMap.get(key)
   }
+  /** Allocation-free lookup for validator hot paths (no Some per hit). */
+  def getOrNull(key: String): JsonValue = {
+    if (fields.length <= 8) {
+      var i = 0
+      while (i < fields.length) {
+        if (fields(i)._1 == key) return fields(i)._2
+        i += 1
+      }
+      null
+    } else toMap.getOrElse(key, null)
+  }
   def has(key: String): Boolean = {
     if (fields.length <= 8) {
       var i = 0
@@ -74,40 +85,209 @@ object JsonType {
 object JsonValue {
   private val mapper = new ObjectMapper()
 
-  /** Streaming parse (no intermediate JsonNode tree): the contentSchema
-    * kernel parses one document per ROW, and the readTree+convert form was
-    * ~40% of its per-row cost. Same laxity as readTree (one value read;
-    * trailing tokens ignored) so verdicts are unchanged. */
-  def parse(text: String): JsonValue = {
-    val p = mapper.getFactory.createParser(text)
-    try {
-      val t = p.nextToken()
-      if (t == null) throw new java.io.IOException("empty JSON input")
-      readValue(p)
-    } finally p.close()
+  /** Direct recursive-descent parse into the value tree. A per-document
+    * hot path (the contentSchema kernel parses one document per ROW):
+    * avoids jackson's per-call parser/IOContext/buffer setup and its
+    * token-event indirection — strings and field names are single-alloc
+    * substrings, i64-range int tokens wrap a long (scale-0 BigDecimal,
+    * same compare semantics), other numbers are exact BigDecimals of the
+    * raw token text. RFC 8259 grammar; one value read, trailing tokens
+    * ignored (same laxity as the previous streaming form, so verdicts on
+    * concatenated/garbage-tailed inputs are unchanged). */
+  def parse(text: String): JsonValue = new Parser(text).parseRoot()
+
+  /** Bounded field-name intern pool (jackson's name canonicalization,
+    * for our tree): keys recur endlessly across documents, and validator
+    * lookups (property maps, dispatch keys, `required`) pay String.hashCode
+    * + full equals per FRESH key otherwise. Interned keys carry a cached
+    * hashCode and hit reference-equality fast paths against schema-side
+    * keys, which flow through this same pool when the schema is parsed.
+    * Bounded so hostile key-churn data degrades to plain strings instead
+    * of growing the pool. */
+  private object FieldIntern {
+    private val pool = new java.util.concurrent.ConcurrentHashMap[String, String](1024)
+    private final val Max = 1 << 14
+    def intern(s: String): String = {
+      val hit = pool.get(s)
+      if (hit != null) hit
+      else if (pool.size() >= Max) s
+      else {
+        val prev = pool.putIfAbsent(s, s)
+        if (prev != null) prev else s
+      }
+    }
   }
 
-  private def readValue(p: com.fasterxml.jackson.core.JsonParser): JsonValue = {
-    import com.fasterxml.jackson.core.JsonToken._
-    p.currentToken() match {
-      case START_OBJECT =>
-        val b = Vector.newBuilder[(String, JsonValue)]
-        while (p.nextToken() != END_OBJECT) {
-          val k = p.currentName()
-          p.nextToken()
-          b += k -> readValue(p)
+  private final class Parser(s: String) {
+    private[this] var i = 0
+    private[this] val n = s.length
+
+    private def err(msg: String): Nothing =
+      throw new java.io.IOException(s"$msg at offset $i")
+
+    private def ws(): Unit = {
+      while (i < n && { val c = s.charAt(i); c == ' ' || c == '\t' || c == '\n' || c == '\r' })
+        i += 1
+    }
+
+    def parseRoot(): JsonValue = {
+      ws()
+      if (i >= n) throw new java.io.IOException("empty JSON input")
+      parseValue()
+    }
+
+    private def parseValue(): JsonValue = {
+      ws()
+      if (i >= n) err("unexpected end of input")
+      (s.charAt(i): @annotation.switch) match {
+        case '{' => parseObj()
+        case '[' => parseArr()
+        case '"' => JStr(parseString())
+        case 't' => expectWord("true"); JBool(true)
+        case 'f' => expectWord("false"); JBool(false)
+        case 'n' => expectWord("null"); JNull
+        case _   => parseNumber()
+      }
+    }
+
+    private def expectWord(w: String): Unit = {
+      if (i + w.length > n || !s.regionMatches(i, w, 0, w.length)) err(s"expected '$w'")
+      i += w.length
+    }
+
+    private def parseObj(): JObj = {
+      i += 1 // '{'
+      ws()
+      if (i < n && s.charAt(i) == '}') { i += 1; return JObj(Vector.empty) }
+      val b = Vector.newBuilder[(String, JsonValue)]
+      var done = false
+      while (!done) {
+        ws()
+        if (i >= n || s.charAt(i) != '"') err("expected field name")
+        val k = FieldIntern.intern(parseString())
+        ws()
+        if (i >= n || s.charAt(i) != ':') err("expected ':'")
+        i += 1
+        b += k -> parseValue()
+        ws()
+        if (i >= n) err("unterminated object")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case _   => err("expected ',' or '}'")
         }
-        JObj(b.result())
-      case START_ARRAY =>
-        val b = Vector.newBuilder[JsonValue]
-        while (p.nextToken() != END_ARRAY) b += readValue(p)
-        JArr(b.result())
-      case VALUE_STRING => JStr(p.getText)
-      case VALUE_NUMBER_INT | VALUE_NUMBER_FLOAT => JNum(BigDecimal(p.getDecimalValue))
-      case VALUE_TRUE => JBool(true)
-      case VALUE_FALSE => JBool(false)
-      case VALUE_NULL => JNull
-      case other => throw new java.io.IOException(s"unexpected JSON token: $other")
+      }
+      JObj(b.result())
+    }
+
+    private def parseArr(): JArr = {
+      i += 1 // '['
+      ws()
+      if (i < n && s.charAt(i) == ']') { i += 1; return JArr(Vector.empty) }
+      val b = Vector.newBuilder[JsonValue]
+      var done = false
+      while (!done) {
+        b += parseValue()
+        ws()
+        if (i >= n) err("unterminated array")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; done = true
+          case _   => err("expected ',' or ']'")
+        }
+      }
+      JArr(b.result())
+    }
+
+    private def parseString(): String = {
+      i += 1 // opening '"'
+      val start = i
+      // fast path: no escapes → one substring
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { val out = s.substring(start, i); i += 1; return out }
+        if (c == '\\') return parseStringSlow(start)
+        if (c < ' ') err("unescaped control character in string")
+        i += 1
+      }
+      err("unterminated string")
+    }
+
+    private def parseStringSlow(start: Int): String = {
+      val sb = new java.lang.StringBuilder(i - start + 16)
+      sb.append(s, start, i)
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { i += 1; return sb.toString }
+        else if (c == '\\') {
+          i += 1
+          if (i >= n) err("unterminated escape")
+          (s.charAt(i): @annotation.switch) match {
+            case '"'  => sb.append('"');  i += 1
+            case '\\' => sb.append('\\'); i += 1
+            case '/'  => sb.append('/');  i += 1
+            case 'b'  => sb.append('\b'); i += 1
+            case 'f'  => sb.append('\f'); i += 1
+            case 'n'  => sb.append('\n'); i += 1
+            case 'r'  => sb.append('\r'); i += 1
+            case 't'  => sb.append('\t'); i += 1
+            case 'u'  =>
+              if (i + 5 > n) err("truncated \\u escape")
+              var cp = 0
+              var j = i + 1
+              while (j < i + 5) {
+                val h = Character.digit(s.charAt(j), 16)
+                if (h < 0) err("bad hex in \\u escape")
+                cp = (cp << 4) | h
+                j += 1
+              }
+              sb.append(cp.toChar) // surrogate pairs arrive as two escapes
+              i += 5
+            case _ => err("bad escape")
+          }
+        }
+        else if (c < ' ') err("unescaped control character in string")
+        else { sb.append(c); i += 1 }
+      }
+      err("unterminated string")
+    }
+
+    /** Strict JSON number grammar: -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)? */
+    private def parseNumber(): JNum = {
+      val start = i
+      if (i < n && s.charAt(i) == '-') i += 1
+      if (i >= n) err("malformed number")
+      val c0 = s.charAt(i)
+      if (c0 == '0') i += 1
+      else if (c0 >= '1' && c0 <= '9') { i += 1; skipDigits() }
+      else err("malformed number")
+      var intOnly = true
+      if (i < n && s.charAt(i) == '.') {
+        intOnly = false
+        i += 1
+        if (i >= n || !isDigit(s.charAt(i))) err("malformed number")
+        skipDigits()
+      }
+      if (i < n && { val c = s.charAt(i); c == 'e' || c == 'E' }) {
+        intOnly = false
+        i += 1
+        if (i < n && { val c = s.charAt(i); c == '+' || c == '-' }) i += 1
+        if (i >= n || !isDigit(s.charAt(i))) err("malformed number")
+        skipDigits()
+      }
+      val len = i - start
+      if (intOnly && len <= 18) {
+        // fits a long without overflow checks (<= 18 digits)
+        var v = 0L
+        var j = if (s.charAt(start) == '-') start + 1 else start
+        while (j < i) { v = v * 10 + (s.charAt(j) - '0'); j += 1 }
+        JNum(BigDecimal(if (s.charAt(start) == '-') -v else v))
+      } else JNum(BigDecimal(new java.math.BigDecimal(s.substring(start, i))))
+    }
+
+    private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+    private def skipDigits(): Unit = {
+      while (i < n && isDigit(s.charAt(i))) i += 1
     }
   }
 

@@ -17,16 +17,27 @@ object RecursivePerfProbe {
     require(prepared.isValid(parsed))
     // warmup
     (1 to 3000).foreach { _ => prepared.isValid(JsonValue.parse(instance)) }
+    // interleaved rounds, best-of per label: the shared microVM has
+    // CPU-steal windows, so a single timed block per label confounds the
+    // engine's speed with whatever the host was doing in that second
+    val rounds = 3
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"$label: ${n / s}%.0f docs/s (${s * 1e9 / n}%.0f ns/doc)")
+      val r = n / s
+      if (r > best.getOrElse(label, 0d)) best(label) = r
     }
-    time("parse-only")      { var i = 0; while (i < n) { JsonValue.parse(instance); i += 1 } }
-    time("validate-only")   { var i = 0; while (i < n) { prepared.isValid(parsed); i += 1 } }
-    time("parse+validate")  { var i = 0; while (i < n) { prepared.isValid(JsonValue.parse(instance)); i += 1 } }
     val interpOnly = Interp.prepare(Spec.parseJson(schema))
-    time("tree-walk-only")  { var i = 0; while (i < n) { interpOnly.isValidInterp(parsed); i += 1 } }
+    (1 to rounds).foreach { _ =>
+      time("parse-only")      { var i = 0; while (i < n) { JsonValue.parse(instance); i += 1 } }
+      time("validate-only")   { var i = 0; while (i < n) { prepared.isValid(parsed); i += 1 } }
+      time("parse+validate")  { var i = 0; while (i < n) { prepared.isValid(JsonValue.parse(instance)); i += 1 } }
+      time("tree-walk-only")  { var i = 0; while (i < n) { interpOnly.isValidInterp(parsed); i += 1 } }
+    }
+    best.foreach { case (label, r) =>
+      println(f"$label: $r%.0f docs/s (${1e9 / r}%.0f ns/doc)")
+    }
   }
 }
