@@ -347,7 +347,18 @@ object Canonical {
         oneOf = o0.oneOf.map(emissionPartition),
         ifSpec = o0.ifSpec.map(emissionPartition),
         thenSpec = o0.thenSpec.map(emissionPartition),
-        elseSpec = o0.elseSpec.map(emissionPartition)) match {
+        elseSpec = o0.elseSpec.map(emissionPartition),
+        // a KEPT not spells scalar value sets as `enum` (negate.rs value
+        // rendering: `not:{const:c}` emits as `not:{enum:[c]}`; non-empty
+        // container constants stay raw)
+        not = o0.not.map {
+          case n: Spec.Obj => n.const match {
+            case Some(c) if !c.isInstanceOf[JObj] && !c.isInstanceOf[JArr] =>
+              n.copy(const = None, enumVals = Some(Vector(c)))
+            case _ => n
+          }
+          case other => other
+        }) match {
         // partitioned branches re-nest the union: flatten and dedup the
         // shared free-types pieces
         case oo: Spec.Obj if oo.anyOf.nonEmpty =>
@@ -613,10 +624,17 @@ object Canonical {
       o.ref.nonEmpty || o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty ||
       o.id.nonEmpty || o.anchor.nonEmpty || o.dynamicAnchor.nonEmpty || o.recursiveAnchor ||
       o.defs.nonEmpty || o.others.nonEmpty ||
-      o.patternProperties.nonEmpty || o.additionalProperties.nonEmpty ||
+      o.patternProperties.nonEmpty ||
+      // a value shield beside declared properties negates into a per-key
+      // split (negate.rs full form) we don't model; a BARE shield keeps
+      // its not inside the object branch (handled below)
+      (o.additionalProperties.nonEmpty && o.properties.nonEmpty) ||
       o.dependentRequired.nonEmpty || o.dependentSchemas.nonEmpty ||
-      o.items.nonEmpty || o.prefixItems.nonEmpty || o.contains.nonEmpty ||
-      o.minContains.nonEmpty || o.maxContains.nonEmpty || o.uniqueItems ||
+      // ¬(items S) within array spells as `contains ¬S` (and ¬contains as
+      // items) — but only for the uniform schema form; a prefix split or
+      // explicit contains-count bounds have no complement spelling here
+      (o.items.nonEmpty && o.prefixItems.nonEmpty) || o.prefixItems.nonEmpty ||
+      o.minContains.exists(_ != 1L) || o.maxContains.nonEmpty || o.uniqueItems ||
       o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
       o.format.nonEmpty || o.contentEncoding.nonEmpty || o.contentMediaType.nonEmpty ||
       o.contentSchema.nonEmpty
@@ -646,8 +664,10 @@ object Canonical {
       o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty || o.multipleOf.nonEmpty ||
       o.minLength.nonEmpty || o.maxLength.nonEmpty || o.pattern.nonEmpty ||
       o.minItems.nonEmpty || o.maxItems.nonEmpty ||
+      o.items.nonEmpty || o.contains.nonEmpty ||
       o.minProperties.nonEmpty || o.maxProperties.nonEmpty ||
-      o.required.nonEmpty || o.properties.nonEmpty || o.propertyNames.nonEmpty
+      o.required.nonEmpty || o.properties.nonEmpty || o.propertyNames.nonEmpty ||
+      o.additionalProperties.nonEmpty
     if (hasValues && hasConstraints) return None
 
     val tAtoms = atomsOf(o.types.getOrElse(JsonType.all.toSet))
@@ -661,11 +681,23 @@ object Canonical {
 
     if (hasValues) {
       val members = o.const.map(Vector(_)).getOrElse(o.enumVals.get)
-      if (members.exists(m => m.isInstanceOf[JStr] || m.isInstanceOf[JArr] ||
-          m.isInstanceOf[JObj])) return None
+      // non-empty container members: the values differing in one element /
+      // key have no positive form — the not stays as written
+      if (members.exists {
+        case a: JArr => a.items.nonEmpty
+        case ob: JObj => ob.fields.nonEmpty
+        case _ => false
+      }) return None
+      val strMembers = members.collect { case s: JStr => s }
+      val hasEmptyArr = members.exists { case a: JArr => a.items.isEmpty; case _ => false }
+      val hasEmptyObj = members.exists { case ob: JObj => ob.fields.isEmpty; case _ => false }
       val numMembers = members.collect { case n: JNum => n.value }.distinct.sorted
-      // numeric members: only spellable over the FULL number domain
+      // numeric members: only spellable over the FULL number domain, and
+      // only inside the modeled integer projection — past ±i64 the gap
+      // bounds around a member are not spellable in the reference's value
+      // model, so the not stays as written (negate.rs i64 gate)
       if (numMembers.nonEmpty && !(tAtoms("int") && tAtoms("nonint"))) return None
+      if (numMembers.exists(_.abs >= I64Max)) return None
       if (tAtoms("null") && !members.contains(JNull))
         branches += Spec.Obj(types = Some(Set(JsonType.Null): Set[JsonType]))
       if (tAtoms("boolean")) {
@@ -688,11 +720,31 @@ object Canonical {
           branches += Spec.Obj(types = numT, exclusiveMinimum = Some(numMembers.last))
         }
       }
-      // string/array/object atoms of T with no members of that type:
-      // the whole domain belongs to the complement
-      if (tAtoms("string")) branches += Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]))
-      if (tAtoms("array")) branches += Spec.Obj(types = Some(Set(JsonType.Array): Set[JsonType]))
-      if (tAtoms("object")) branches += Spec.Obj(types = Some(Set(JsonType.Object): Set[JsonType]))
+      // string/array/object atoms of T: whole domain when no members of
+      // that type; string members keep a `not:{enum}` inside the string
+      // branch (¬ a finite string set has no positive spelling); an empty
+      // container member frees the rest of its domain via a size floor
+      if (tAtoms("string")) {
+        if (strMembers.isEmpty)
+          branches += Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]))
+        else
+          branches += Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]),
+            not = Some(Spec.Obj(enumVals = Some(strMembers.toVector: Vector[JsonValue]))))
+      }
+      if (tAtoms("array")) {
+        if (!hasEmptyArr)
+          branches += Spec.Obj(types = Some(Set(JsonType.Array): Set[JsonType]))
+        else
+          branches += Spec.Obj(types = Some(Set(JsonType.Array): Set[JsonType]),
+            minItems = Some(1L))
+      }
+      if (tAtoms("object")) {
+        if (!hasEmptyObj)
+          branches += Spec.Obj(types = Some(Set(JsonType.Object): Set[JsonType]))
+        else
+          branches += Spec.Obj(types = Some(Set(JsonType.Object): Set[JsonType]),
+            minProperties = Some(1L))
+      }
     } else {
       // per-keyword complements within each keyword's domain
       val numericDom = tAtoms("int") || tAtoms("nonint")
@@ -729,6 +781,29 @@ object Canonical {
           branches += Spec.Obj(types = at, maxItems = Some(n - 1)))
         o.maxItems.foreach(n =>
           branches += Spec.Obj(types = at, minItems = Some(n + 1)))
+        // ¬(every element meets S) ⟺ some element meets ¬S (negate.rs
+        // element rule); ¬(some element meets S) ⟺ every element meets ¬S
+        o.items.foreach { s =>
+          pushNot(s, bare = true, depth + 1) match {
+            case None => return None
+            case Some(Spec.Reject) => () // items:true never fails
+            case Some(Spec.Accept) =>
+              branches += Spec.Obj(types = at, minItems = Some(1L))
+            case Some(ns) =>
+              branches += Spec.Obj(types = at, contains = Some(ns))
+          }
+        }
+        o.contains.foreach { s =>
+          pushNot(s, bare = true, depth + 1) match {
+            case None => return None
+            case Some(Spec.Reject) => // S accepts all: only [] fails contains
+              branches += Spec.Obj(types = at, maxItems = Some(0L))
+            case Some(Spec.Accept) => // S rejects all: contains always fails
+              branches += Spec.Obj(types = at)
+            case Some(ns) =>
+              branches += Spec.Obj(types = at, items = Some(ns))
+          }
+        }
       }
       if (tAtoms("object")) {
         val ot = Some(Set(JsonType.Object): Set[JsonType])
@@ -763,6 +838,17 @@ object Canonical {
               branches += Spec.Obj(types = ot, required = Vector(k),
                 properties = Vector(k -> ns))
           }
+        }
+        // a BARE value shield (additionalProperties with no declared
+        // properties): its complement has no positive spelling — the not
+        // stays inside the object branch with the implicit type hoisted
+        o.additionalProperties.foreach { ap =>
+          if (ap == Spec.Accept) () // never fails
+          else if (ap == Spec.Reject) // ¬(no properties at all)
+            branches += Spec.Obj(types = ot, minProperties = Some(1L))
+          else
+            branches += Spec.Obj(types = ot,
+              not = Some(Spec.Obj(additionalProperties = Some(ap))))
         }
       }
     }
@@ -1332,6 +1418,10 @@ object Canonical {
         // {types T, not X} beside a parent already pinned inside T: the
         // wrapper adds nothing — the not hoists into the parent slot
         acc = acc.copy(not = sub.not)
+      case sub: Spec.Obj if sub.types.nonEmpty && acc.types.nonEmpty &&
+          intersectTypes(sub.types.get, acc.types.get).isEmpty =>
+        // a conjunct pinned to types the parent excludes admits nothing
+        keep += Spec.Reject
       case sub: Spec.Obj =>
         mergeInto(acc, sub) match {
           case Some(m2) => acc = m2
@@ -1359,11 +1449,15 @@ object Canonical {
       b.properties.forall { case (k, _) => !a.properties.exists(_._1 == k) }
     val bHasUnmergeable =
       (b.properties.nonEmpty && !propsMergeable) || b.patternProperties.nonEmpty ||
-      b.additionalProperties.nonEmpty || b.propertyNames.nonEmpty ||
+      b.additionalProperties.nonEmpty ||
+      // propertyNames and not are plain conjunct constraints: they hoist
+      // into an EMPTY parent slot (two of a kind would need semantic
+      // intersection — those stay as allOf members)
+      (b.propertyNames.nonEmpty && a.propertyNames.nonEmpty) ||
       b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
       b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
       b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
-      b.not.nonEmpty || b.ifSpec.nonEmpty || b.ref.nonEmpty ||
+      (b.not.nonEmpty && a.not.nonEmpty) || b.ifSpec.nonEmpty || b.ref.nonEmpty ||
       // unevaluated* scope over the member's OWN in-place applicators and
       // content* has no merge rule — hoisting either changes the accepted
       // set ({"allOf":[{"unevaluatedProperties":false}]} ≠ dropping it)
@@ -1428,6 +1522,8 @@ object Canonical {
       maxProperties = minOfL(a.maxProperties, b.maxProperties),
       required = (a.required ++ b.required).distinct,
       properties = a.properties ++ (if (propsMergeable) b.properties else Vector.empty),
+      propertyNames = a.propertyNames.orElse(b.propertyNames),
+      not = a.not.orElse(b.not),
       minContains = maxOfL(a.minContains, b.minContains),
       maxContains = minOfL(a.maxContains, b.maxContains),
     ))
