@@ -333,7 +333,15 @@ object Canonical {
     * leaves are left alone. */
   private val I64Max = BigDecimal(Long.MaxValue)
   private def emissionPartition(sp: Spec): Spec = sp match {
-    case o0: Spec.Obj =>
+    case o00: Spec.Obj =>
+      // symbolic ¬uniqueItems renders allOf-wrapped with its typed target
+      // (a PURE not-wrapper stays as written — wrapping it again would
+      // recurse forever through the allOf view)
+      val o0 = o00.not match {
+        case Some(nt: Spec.Obj) if nt.uniqueItems && !only(o00)(_.copy(not = None)) =>
+          o00.copy(not = None, allOf = o00.allOf :+ Spec.Obj(not = Some(nt)))
+        case _ => o00
+      }
       // recurse into subschemas first (properties etc. partition too)
       val o = o0.copy(
         properties = o0.properties.map { case (k, v) => k -> emissionPartition(v) },
@@ -348,6 +356,14 @@ object Canonical {
         ifSpec = o0.ifSpec.map(emissionPartition),
         thenSpec = o0.thenSpec.map(emissionPartition),
         elseSpec = o0.elseSpec.map(emissionPartition),
+        // a constraint-bearing propertyNames target carries its implicit
+        // string type in the emitted view (value-set targets stay bare)
+        propertyNames = o0.propertyNames.map {
+          case po: Spec.Obj if po != Spec.empty && po.types.isEmpty &&
+              po.const.isEmpty && po.enumVals.isEmpty =>
+            po.copy(types = Some(Set(JsonType.String): Set[JsonType]))
+          case other => other
+        },
         // a KEPT not spells scalar value sets as `enum` (negate.rs value
         // rendering: `not:{const:c}` emits as `not:{enum:[c]}`; non-empty
         // container constants stay raw)
@@ -449,12 +465,23 @@ object Canonical {
     var o = o0
     if (o.additionalProperties.contains(Spec.Accept))
       o = o.copy(additionalProperties = None)
+    // a floor the required key count already guarantees is redundant
+    if (o.minProperties.exists(_ <= o.required.distinct.length))
+      o = o.copy(minProperties = None)
+    // ¬(every key meets S) forces a violating key to EXIST, so a floor of
+    // one is implied (only when the negated target is purely a key
+    // constraint — any other negated facet could fail on the empty object)
+    if (o.minProperties.contains(1L) && o.not.exists {
+      case nt: Spec.Obj => nt.propertyNames.nonEmpty &&
+        only(nt)(_.copy(propertyNames = None, types = None))
+      case _ => false
+    }) o = o.copy(minProperties = None)
     if (o.items.contains(Spec.Accept)) o = o.copy(items = None)
     if (o.propertyNames.contains(Spec.Accept)) o = o.copy(propertyNames = None)
     if (o.dependentSchemas.exists(_._2 == Spec.Accept))
       o = o.copy(dependentSchemas = o.dependentSchemas.filter(_._2 != Spec.Accept))
     o.not match {
-      case Some(nt0: Spec.Obj) =>
+      case Some(nt0: Spec.Obj) if !nt0.uniqueItems =>
         var nt = nt0
         // ¬(A ∧ B) beside an enforced A ≡ ¬B: drop target conjuncts the
         // parent repeats (types it pins, property entries it declares)
@@ -631,10 +658,11 @@ object Canonical {
       (o.additionalProperties.nonEmpty && o.properties.nonEmpty) ||
       o.dependentRequired.nonEmpty || o.dependentSchemas.nonEmpty ||
       // ¬(items S) within array spells as `contains ¬S` (and ¬contains as
-      // items) — but only for the uniform schema form; a prefix split or
+      // items); beside a prefix tuple only a CLOSED tail (items:false)
+      // complements (its failure is exactly "an item lies beyond");
       // explicit contains-count bounds have no complement spelling here
-      (o.items.nonEmpty && o.prefixItems.nonEmpty) || o.prefixItems.nonEmpty ||
-      o.minContains.exists(_ != 1L) || o.maxContains.nonEmpty || o.uniqueItems ||
+      (o.prefixItems.nonEmpty && o.items.exists(_ != Spec.Reject)) ||
+      o.minContains.exists(_ != 1L) || o.maxContains.nonEmpty ||
       o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
       o.format.nonEmpty || o.contentEncoding.nonEmpty || o.contentMediaType.nonEmpty ||
       o.contentSchema.nonEmpty
@@ -664,7 +692,7 @@ object Canonical {
       o.exclusiveMinimum.nonEmpty || o.exclusiveMaximum.nonEmpty || o.multipleOf.nonEmpty ||
       o.minLength.nonEmpty || o.maxLength.nonEmpty || o.pattern.nonEmpty ||
       o.minItems.nonEmpty || o.maxItems.nonEmpty ||
-      o.items.nonEmpty || o.contains.nonEmpty ||
+      o.items.nonEmpty || o.contains.nonEmpty || o.prefixItems.nonEmpty || o.uniqueItems ||
       o.minProperties.nonEmpty || o.maxProperties.nonEmpty ||
       o.required.nonEmpty || o.properties.nonEmpty || o.propertyNames.nonEmpty ||
       o.additionalProperties.nonEmpty
@@ -783,7 +811,7 @@ object Canonical {
           branches += Spec.Obj(types = at, minItems = Some(n + 1)))
         // ¬(every element meets S) ⟺ some element meets ¬S (negate.rs
         // element rule); ¬(some element meets S) ⟺ every element meets ¬S
-        o.items.foreach { s =>
+        if (o.prefixItems.isEmpty) o.items.foreach { s =>
           pushNot(s, bare = true, depth + 1) match {
             case None => return None
             case Some(Spec.Reject) => () // items:true never fails
@@ -793,6 +821,34 @@ object Canonical {
               branches += Spec.Obj(types = at, contains = Some(ns))
           }
         }
+        // ¬(position i meets Sᵢ): the position exists and carries ¬Sᵢ; a
+        // sibling `contains` branch already owns the empty array, so the
+        // floor is emitted only without one (mirrors negate.rs tuple view)
+        if (o.prefixItems.nonEmpty) {
+          val withFloor = o.contains.isEmpty
+          o.prefixItems.zipWithIndex.foreach { case (s, i) =>
+            pushNot(s, bare = true, depth + 1) match {
+              case None => return None
+              case Some(Spec.Reject) => () // position schema accepts everything
+              case Some(Spec.Accept) => // position schema rejects everything
+                branches += Spec.Obj(types = at, minItems = Some(i + 1L))
+              case Some(ns) =>
+                branches += Spec.Obj(types = at,
+                  prefixItems = Vector.fill[Spec](i)(Spec.Accept) :+ ns,
+                  minItems = if (withFloor) Some(i + 1L) else None)
+            }
+          }
+          // a CLOSED tail fails precisely when an item lies beyond it
+          if (o.items.contains(Spec.Reject))
+            branches += Spec.Obj(types = at, minItems = Some(o.prefixItems.length + 1L))
+        }
+        // ¬uniqueItems (a repeat exists) has no positive spelling — it
+        // stays symbolic, allOf-wrapped with its full typed target, under
+        // the implied floor of two
+        if (o.uniqueItems)
+          branches += Spec.Obj(types = at, minItems = Some(2L),
+            allOf = Vector(Spec.Obj(not = Some(
+              Spec.Obj(types = at, uniqueItems = true)))))
         o.contains.foreach { s =>
           pushNot(s, bare = true, depth + 1) match {
             case None => return None
@@ -1398,6 +1454,14 @@ object Canonical {
   /** Fold mergeable allOf members into the parent (constraint
     * intersection, `{allOf:[{min:0},{max:10}]}` → `{min:0,max:10}`). A
     * member stays in allOf if any of its keywords can't merge safely. */
+  /** ¬uniqueItems is kept SYMBOLIC (allOf-wrapped, full typed target) in
+    * the reference's emitted view — exclude it from not-slot hoisting and
+    * target-stripping so the spelling survives the fixpoint. */
+  private def isUniqueNot(t: Spec): Boolean = t match {
+    case to: Spec.Obj => to.uniqueItems
+    case _ => false
+  }
+
   private def foldAllOf(o: Spec.Obj): Spec.Obj = {
     var acc = o.copy(allOf = Vector.empty)
     val keep = Vector.newBuilder[Spec]
@@ -1412,6 +1476,7 @@ object Canonical {
         // slot, where anyOfAlgebra can distribute the residue through it
         acc = acc.copy(anyOf = sub.anyOf)
       case sub: Spec.Obj if sub.not.nonEmpty && acc.not.isEmpty &&
+          !sub.not.exists(isUniqueNot) &&
           only(sub)(_.copy(not = None, types = None)) &&
           (sub.types.isEmpty || acc.types.exists(at =>
             expand(at).subsetOf(expand(sub.types.get)))) =>
@@ -1457,7 +1522,8 @@ object Canonical {
       b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
       b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
       b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
-      (b.not.nonEmpty && a.not.nonEmpty) || b.ifSpec.nonEmpty || b.ref.nonEmpty ||
+      (b.not.nonEmpty && a.not.nonEmpty) || b.not.exists(isUniqueNot) ||
+      b.ifSpec.nonEmpty || b.ref.nonEmpty ||
       // unevaluated* scope over the member's OWN in-place applicators and
       // content* has no merge rule — hoisting either changes the accepted
       // set ({"allOf":[{"unevaluatedProperties":false}]} ≠ dropping it)
