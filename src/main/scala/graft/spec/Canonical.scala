@@ -34,9 +34,41 @@ object Canonical {
     if (usesAdvancedReferencing(s1)) s1
     else canon(s1, annotationsMatter = containsUnevaluated(s1)) match {
       case o: Spec.Obj if recursivelyEmpty(o) => Spec.Reject
-      case o: Spec.Obj if !containsUnevaluated(s1) => emissionPartition(o)
+      case o: Spec.Obj if !containsUnevaluated(s1) => emissionPartition(o) match {
+        case oo: Spec.Obj => pruneRootDefs(oo)
+        case other => other
+      }
       case other => other
     }
+  }
+
+  /** Root `$defs` entries nothing references after canonicalization are
+    * bookkeeping and drop from the emitted document. */
+  private def pruneRootDefs(o: Spec.Obj): Spec.Obj = {
+    if (o.defs.isEmpty) return o
+    val refs = scala.collection.mutable.Set[String]()
+    def collect(s: Spec): Unit = s match {
+      case so: Spec.Obj =>
+        so.ref.foreach(refs += _)
+        so.dynamicRef.foreach(refs += _)
+        (subschemas(so) ++ so.contentSchema ++ so.defs.values).foreach(collect)
+      case _ => ()
+    }
+    // fixpoint: an entry kept alive only by another dropped entry drops too
+    var cur = o
+    var changed = true
+    while (changed) {
+      refs.clear()
+      collect(cur.copy(defs = Map.empty))
+      cur.defs.values.foreach(collect)
+      val kept = cur.defs.filter { case (name, _) =>
+        val ptr = "#/$defs/" + name.replace("~", "~0").replace("/", "~1")
+        refs.exists(r => r == ptr || r.startsWith(ptr + "/"))
+      }
+      changed = kept.size != cur.defs.size
+      cur = cur.copy(defs = kept)
+    }
+    cur
   }
 
   /** Recursive-schema emptiness (`canonical/mod.rs:63-71` analog): a
@@ -502,7 +534,9 @@ object Canonical {
         o.propertyNames.isEmpty && o.properties.nonEmpty) {
       val keys = o.properties.map(_._1)
       o = o.copy(additionalProperties = None,
-        propertyNames = Some(Spec.Obj(enumVals = Some(keys.map(JStr(_))))),
+        propertyNames = Some(
+          if (keys.length == 1) Spec.Obj(const = Some(JStr(keys.head)))
+          else Spec.Obj(enumVals = Some(keys.map(JStr(_))))),
         maxProperties = o.maxProperties.filter(_ < keys.length))
     }
     o
@@ -1030,6 +1064,10 @@ object Canonical {
     * both) — `algebra.rs:415-727` oneOf disjointness analysis, lite. */
   def disjoint(a: Spec, b: Spec): Boolean = (a, b) match {
     case (Spec.Reject, _) | (_, Spec.Reject) => true
+    // `type` is conjunctive — every other keyword only narrows — so
+    // disjoint declared types prove disjointness regardless of the rest
+    case (x: Spec.Obj, y: Spec.Obj) if x.types.nonEmpty && y.types.nonEmpty &&
+        expand(x.types.get).intersect(expand(y.types.get)).isEmpty => true
     case (x: Spec.Obj, y: Spec.Obj) if scalarLeaf(x) && scalarLeaf(y) =>
       val typeDisjoint = x.types.nonEmpty && y.types.nonEmpty &&
         expand(x.types.get).intersect(expand(y.types.get)).isEmpty
@@ -1069,14 +1107,48 @@ object Canonical {
     var o = o0
     var live = o.oneOf.filter(_ != Spec.Reject)
     if (live.isEmpty) return o.copy(oneOf = Vector(Spec.Reject)) // sentinel
-    // duplicated branches join the negative side
+    // local `#/$defs` pointer-chain resolution for the ANALYSES below (the
+    // spellings keep the refs; the reference resolves symbolic branches
+    // before its disjointness / complement reasoning)
+    def chase(s: Spec, hops: Int): Spec = s match {
+      case r: Spec.Obj if hops < 8 && only(r)(_.copy(ref = None)) &&
+          r.ref.exists(_.startsWith("#/$defs/")) =>
+        val name = r.ref.get.stripPrefix("#/$defs/")
+          .replace("~1", "/").replace("~0", "~")
+        if (name.contains('/')) s
+        else o0.defs.get(name).map(chase(_, hops + 1)).getOrElse(s)
+      case _ => s
+    }
+    def typesOnly(s: Spec): Option[Set[String]] = s match {
+      case t: Spec.Obj if only(t)(_.copy(types = None)) && t.types.nonEmpty =>
+        Some(atomsOf(t.types.get))
+      case _ => None
+    }
+    // duplicated branches join the negative side; when a duplicate
+    // RESOLVES to a pure type set and every survivor is a pure type set,
+    // the negation is just type subtraction and the concrete encoding
+    // survives (reference: repeated symbolic branches take the resolved
+    // complement)
     val dupGroups = live.groupBy(identity).collect { case (b, bs) if bs.size >= 2 => b }.toVector
     if (dupGroups.nonEmpty) {
       live = live.filterNot(dupGroups.contains)
-      o = o.copy(allOf = o.allOf ++
-        dupGroups.map(d => pushNotKeyword(Spec.Obj(not = Some(d)))))
-      if (live.isEmpty) // nothing left that could be the exactly-one
-        return o.copy(oneOf = Vector(Spec.Reject))
+      val dupAtoms = dupGroups.map(d => typesOnly(chase(d, 0)))
+      if (dupAtoms.forall(_.nonEmpty) && live.nonEmpty && live.forall(b => typesOnly(b).nonEmpty)) {
+        val subtract = dupAtoms.flatten.reduce(_ ++ _)
+        live = live.map { b =>
+          typesFromAtoms(typesOnly(b).get -- subtract) match {
+            case Vector() => Spec.Reject
+            case Vector(one) => one
+            case many => Spec.Obj(anyOf = many)
+          }
+        }.filter(_ != Spec.Reject)
+        if (live.isEmpty) return o.copy(oneOf = Vector(Spec.Reject))
+      } else {
+        o = o.copy(allOf = o.allOf ++
+          dupGroups.map(d => pushNotKeyword(Spec.Obj(not = Some(d)))))
+        if (live.isEmpty) // nothing left that could be the exactly-one
+          return o.copy(oneOf = Vector(Spec.Reject))
+      }
     }
     val nAccept = live.count(_ == Spec.Accept)
     if (nAccept >= 2) return o.copy(oneOf = Vector(Spec.Reject))
@@ -1119,8 +1191,10 @@ object Canonical {
       }
       return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ rep)
     }
-    // pairwise-disjoint ⇒ anyOf (exactly-one ≡ at-least-one)
-    if (live.length >= 2 && live.combinations(2).forall(p => disjoint(p(0), p(1)))) {
+    // pairwise-disjoint ⇒ anyOf (exactly-one ≡ at-least-one); the test —
+    // not the spelling — sees through local `#/$defs` pointer chains
+    if (live.length >= 2 && live.combinations(2).forall(p =>
+        disjoint(chase(p(0), 0), chase(p(1), 0)))) {
       if (o.anyOf.isEmpty) return o.copy(oneOf = Vector.empty, anyOf = live)
       else return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = live))
     }
@@ -1975,7 +2049,12 @@ object Canonical {
         minimum = None, maximum = None, multipleOf = None,
         exclusiveMinimum = None, exclusiveMaximum = None)
       case None => o.enumVals match {
-        case Some(Vector(single)) if o.const.isEmpty =>
+        // past the i64 projection the member keeps its `enum` spelling
+        // (the reference's value model holds no const for it)
+        case Some(Vector(single)) if o.const.isEmpty && (single match {
+          case n: JNum => n.value.abs < I64Max
+          case _ => true
+        }) =>
           o.copy(const = Some(single), enumVals = None)
         case _ => o
       }
