@@ -20,8 +20,17 @@ object Canonical {
   def canonicalize(s: Spec): Spec = {
     // a ROOT $id nothing else references is bookkeeping: "#" and
     // pointer refs resolve to the root either way — drop it so the
-    // document qualifies for canonicalization (reference root handling)
-    val s1 = s match {
+    // document qualifies for canonicalization (reference root handling).
+    // The draft-4 spelling `id` parses as an unknown keyword; at the root
+    // it is the same bookkeeping (pointer refs resolve without it).
+    val s0 = s match {
+      case o: Spec.Obj if o.others.exists { case (k, v) =>
+          k == "id" && v.isInstanceOf[JStr] } &&
+          !usesAdvancedReferencing(o.copy(others = o.others.filterNot(_._1 == "id"))) =>
+        o.copy(others = o.others.filterNot(_._1 == "id"))
+      case other => other
+    }
+    val s1 = s0 match {
       case o: Spec.Obj if o.id.nonEmpty && !usesAdvancedReferencing(o.copy(id = None)) =>
         o.copy(id = None)
       case other => other
@@ -370,7 +379,7 @@ object Canonical {
       // (a PURE not-wrapper stays as written — wrapping it again would
       // recurse forever through the allOf view)
       val o0 = o00.not match {
-        case Some(nt: Spec.Obj) if nt.uniqueItems && !only(o00)(_.copy(not = None)) =>
+        case Some(nt: Spec.Obj) if isSymbolicNot(nt) && !only(o00)(_.copy(not = None)) =>
           o00.copy(not = None, allOf = o00.allOf :+ Spec.Obj(not = Some(nt)))
         case _ => o00
       }
@@ -509,11 +518,20 @@ object Canonical {
       case _ => false
     }) o = o.copy(minProperties = None)
     if (o.items.contains(Spec.Accept)) o = o.copy(items = None)
+    // `format` is annotation-only in the 2020-12 default dialect the
+    // canonicalizer models (the reference's canonical output never carries
+    // it); assert-formats validation reads the ORIGINAL spec, not the
+    // canonical form
+    if (o.format.nonEmpty) o = o.copy(format = None)
+    // a prefix whose every position repeats the uniform tail schema adds
+    // nothing: prefixItems[X,…] beside items:X ≡ items:X
+    if (o.prefixItems.nonEmpty && o.items.exists(it => o.prefixItems.forall(_ == it)))
+      o = o.copy(prefixItems = Vector.empty)
     if (o.propertyNames.contains(Spec.Accept)) o = o.copy(propertyNames = None)
     if (o.dependentSchemas.exists(_._2 == Spec.Accept))
       o = o.copy(dependentSchemas = o.dependentSchemas.filter(_._2 != Spec.Accept))
     o.not match {
-      case Some(nt0: Spec.Obj) if !nt0.uniqueItems =>
+      case Some(nt0: Spec.Obj) if !isSymbolicNot(nt0) =>
         var nt = nt0
         // ¬(A ∧ B) beside an enforced A ≡ ¬B: drop target conjuncts the
         // parent repeats (types it pins, property entries it declares)
@@ -1068,6 +1086,14 @@ object Canonical {
     // disjoint declared types prove disjointness regardless of the rest
     case (x: Spec.Obj, y: Spec.Obj) if x.types.nonEmpty && y.types.nonEmpty &&
         expand(x.types.get).intersect(expand(y.types.get)).isEmpty => true
+    // one side requires a pattern the other side's not forbids verbatim
+    case (x: Spec.Obj, y: Spec.Obj) if {
+      def forbids(n: Spec.Obj, p: String) = n.not.exists {
+        case nt: Spec.Obj => nt.pattern.contains(p) && only(nt)(_.copy(pattern = None))
+        case _ => false
+      }
+      x.pattern.exists(forbids(y, _)) || y.pattern.exists(forbids(x, _))
+    } => true
     case (x: Spec.Obj, y: Spec.Obj) if scalarLeaf(x) && scalarLeaf(y) =>
       val typeDisjoint = x.types.nonEmpty && y.types.nonEmpty &&
         expand(x.types.get).intersect(expand(y.types.get)).isEmpty
@@ -1528,11 +1554,13 @@ object Canonical {
   /** Fold mergeable allOf members into the parent (constraint
     * intersection, `{allOf:[{min:0},{max:10}]}` → `{min:0,max:10}`). A
     * member stays in allOf if any of its keywords can't merge safely. */
-  /** ¬uniqueItems is kept SYMBOLIC (allOf-wrapped, full typed target) in
-    * the reference's emitted view — exclude it from not-slot hoisting and
-    * target-stripping so the spelling survives the fixpoint. */
-  private def isUniqueNot(t: Spec): Boolean = t match {
-    case to: Spec.Obj => to.uniqueItems
+  /** ¬uniqueItems and the bare ¬pattern are kept SYMBOLIC (allOf-wrapped
+    * pure not) in the reference's emitted view — exclude them from
+    * not-slot hoisting and target-stripping so the spelling survives the
+    * fixpoint. */
+  private def isSymbolicNot(t: Spec): Boolean = t match {
+    case to: Spec.Obj => to.uniqueItems ||
+      (to.pattern.nonEmpty && only(to)(_.copy(pattern = None)))
     case _ => false
   }
 
@@ -1550,7 +1578,7 @@ object Canonical {
         // slot, where anyOfAlgebra can distribute the residue through it
         acc = acc.copy(anyOf = sub.anyOf)
       case sub: Spec.Obj if sub.not.nonEmpty && acc.not.isEmpty &&
-          !sub.not.exists(isUniqueNot) &&
+          !sub.not.exists(isSymbolicNot) &&
           only(sub)(_.copy(not = None, types = None)) &&
           (sub.types.isEmpty || acc.types.exists(at =>
             expand(at).subsetOf(expand(sub.types.get)))) =>
@@ -1586,9 +1614,23 @@ object Canonical {
       a.unevaluatedProperties.isEmpty && b.unevaluatedProperties.isEmpty &&
       a.patternProperties.isEmpty && b.patternProperties.isEmpty &&
       b.properties.forall { case (k, _) => !a.properties.exists(_._1 == k) }
+    // a bare value shield (no declared keys on either side beyond `a`'s
+    // pattern targets that EQUAL the shield) conjoins by equality: b
+    // covers every key with X; a covers every key with X through its own
+    // coverage map — the merge is exactly a
+    val apMergeable = b.additionalProperties.nonEmpty &&
+      b.properties.isEmpty && b.propertyNames.isEmpty &&
+      a.properties.isEmpty && a.unevaluatedProperties.isEmpty &&
+      (((a.additionalProperties == b.additionalProperties ||
+         a.additionalProperties.isEmpty && a.patternProperties.isEmpty) &&
+        a.patternProperties.forall(_._2 == b.additionalProperties.get) &&
+        b.patternProperties.forall(_._2 == b.additionalProperties.get)) ||
+       (a.additionalProperties.isEmpty && a.patternProperties.isEmpty &&
+        b.patternProperties.isEmpty))
     val bHasUnmergeable =
-      (b.properties.nonEmpty && !propsMergeable) || b.patternProperties.nonEmpty ||
-      b.additionalProperties.nonEmpty ||
+      (b.properties.nonEmpty && !propsMergeable) ||
+      (b.patternProperties.nonEmpty && !apMergeable) ||
+      (b.additionalProperties.nonEmpty && !apMergeable) ||
       // propertyNames and not are plain conjunct constraints: they hoist
       // into an EMPTY parent slot (two of a kind would need semantic
       // intersection — those stay as allOf members)
@@ -1596,7 +1638,7 @@ object Canonical {
       b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
       b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
       b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
-      (b.not.nonEmpty && a.not.nonEmpty) || b.not.exists(isUniqueNot) ||
+      (b.not.nonEmpty && a.not.nonEmpty) || b.not.exists(isSymbolicNot) ||
       b.ifSpec.nonEmpty || b.ref.nonEmpty ||
       // unevaluated* scope over the member's OWN in-place applicators and
       // content* has no merge rule — hoisting either changes the accepted
@@ -1662,6 +1704,9 @@ object Canonical {
       maxProperties = minOfL(a.maxProperties, b.maxProperties),
       required = (a.required ++ b.required).distinct,
       properties = a.properties ++ (if (propsMergeable) b.properties else Vector.empty),
+      patternProperties = a.patternProperties ++
+        (if (apMergeable) b.patternProperties else Vector.empty),
+      additionalProperties = a.additionalProperties.orElse(b.additionalProperties),
       propertyNames = a.propertyNames.orElse(b.propertyNames),
       not = a.not.orElse(b.not),
       minContains = maxOfL(a.minContains, b.minContains),
