@@ -310,17 +310,20 @@ object Canonical {
         .reduceOption((a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2)) a else b)
       val hi = (o.maximum.map((_, false)).toSeq ++ o.exclusiveMaximum.map((_, true)))
         .reduceOption((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2)) a else b)
-      val loSnap = lo.map { case (l, lx) =>
+      // an end (or its snapped grid point) f64 cannot hold exactly is not
+      // the number the reference's validator reads — the snap is skipped
+      // and the end stays as written (`shares_arithmetic` gate)
+      val loSnap = lo.flatMap { case (l, lx) =>
         var first = exMul(BigDecimal(l.bigDecimal.divide(m.bigDecimal, 0,
           java.math.RoundingMode.CEILING)), m)
         if (lx && first == l) first = exAdd(first, m)
-        first
+        if (f64Exact(l) && f64Exact(first)) Some(first) else None
       }
-      val hiSnap = hi.map { case (h, hx) =>
+      val hiSnap = hi.flatMap { case (h, hx) =>
         var last = exMul(BigDecimal(h.bigDecimal.divide(m.bigDecimal, 0,
           java.math.RoundingMode.FLOOR)), m)
         if (hx && last == h) last = exSub(last, m)
-        last
+        if (f64Exact(h) && f64Exact(last)) Some(last) else None
       }
       o = o.copy(minimum = loSnap.orElse(o.minimum), maximum = hiSnap.orElse(o.maximum),
         exclusiveMinimum = if (loSnap.nonEmpty) None else o.exclusiveMinimum,
@@ -373,6 +376,20 @@ object Canonical {
     * the i64 projection stay raw; pattern-bearing and value/combinator
     * leaves are left alone. */
   private val I64Max = BigDecimal(Long.MaxValue)
+  private val I64Min = BigDecimal(Long.MinValue)
+  private val U64Max = BigDecimal("18446744073709551615")
+
+  /** The reference's value model holds integers in i64/u64 and everything
+    * else as f64; an emitted bound OUTSIDE the integer window is the
+    * shortest-decimal spelling of its f64 reading (`bound_rational.rs`
+    * rendering). In-window integers stay exact. */
+  private def f64Respell(v: BigDecimal): BigDecimal =
+    if (v.isWhole && v >= I64Min && v <= U64Max) v
+    else {
+      val d = v.toDouble
+      if (java.lang.Double.isFinite(d)) BigDecimal(java.lang.Double.toString(d)) else v
+    }
+
   private def emissionPartition(sp: Spec): Spec = sp match {
     case o00: Spec.Obj =>
       // symbolic ¬uniqueItems renders allOf-wrapped with its typed target
@@ -385,6 +402,11 @@ object Canonical {
       }
       // recurse into subschemas first (properties etc. partition too)
       val o = o0.copy(
+        minimum = o0.minimum.map(f64Respell),
+        maximum = o0.maximum.map(f64Respell),
+        exclusiveMinimum = o0.exclusiveMinimum.map(f64Respell),
+        exclusiveMaximum = o0.exclusiveMaximum.map(f64Respell),
+        multipleOf = o0.multipleOf.map(f64Respell),
         properties = o0.properties.map { case (k, v) => k -> emissionPartition(v) },
         items = o0.items.map(emissionPartition),
         prefixItems = o0.prefixItems.map(emissionPartition),

@@ -44,20 +44,13 @@ class CanonicalFormSpec extends AnyFunSuite {
   val knownDivergent: Map[String, String] = Map(
     "algebra.json / draft4_union_keeps_integer_guard_branch" ->
       "draft-4 value-identity convention (1 vs 1.0): single 2020-12 dialect folds the guard to const",
-    "numeric.json / a minimum below negative i64 keeps rejecting smaller numbers on the same principle" ->
-      "F64 SPELLING (bound rewritten to its f64 reading)",
     "numeric.json / divisors whose least common multiple exceeds finite f64 remain separate" ->
-      "F64 SPELLING (8e307 respelled as its f64 mantissa)",
-    "numeric.json / ends rounding together past f64 precision keep the multiple the validator reads between them" ->
-      "F64 SPELLING (ends respelled past 2^53)",
-    "numeric.json / excluded ends rounding together past f64 precision keep the multiple the validator reads between them" ->
-      "F64 SPELLING (ends respelled past 2^53)",
-    "numeric.json / an excluded start past f64 precision keeps the multiples lying beyond it" ->
-      "F64 SPELLING (ends respelled past 2^53)",
+      ("reference-exact-rational: 8e307 respelled as its f64 MANTISSA odd-part (ir/divisors.rs " +
+        "fraction machinery); our divisor stays the written decimal — verdict parity holds"),
     "numeric.json / an integer past i64 sits below a bound only its fractional digit separates" ->
-      "EXACT DECISIONS (we prove the window empty; reference leaves it open)",
+      "EXACT DECISIONS (we prove the window empty; reference-exact-rational leaves it open)",
     "numeric.json / a divisor snapping an excluded end past i64 leaves the constant nothing" ->
-      "EXACT DECISIONS (we prove the window empty; reference leaves it open)",
+      "EXACT DECISIONS (we prove the window empty; reference-exact-rational leaves it open)",
   )
 
   /** Engine-independent comparison form: `$schema` is bookkeeping; objects
