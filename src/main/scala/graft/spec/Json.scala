@@ -116,6 +116,23 @@ object JsonValue {
         if (prev != null) prev else s
       }
     }
+    // open-addressed (hash, chars) probe so the HOT path interns a field
+    // name straight from the source text without allocating the substring
+    private final val SlotBits = 12
+    private val slots = new java.util.concurrent.atomic.AtomicReferenceArray[String](1 << SlotBits)
+    def internRange(src: String, start: Int, end: Int): String = {
+      var h = 0
+      var i = start
+      while (i < end) { h = h * 31 + src.charAt(i); i += 1 }
+      val idx = (h ^ (h >>> 16)) & ((1 << SlotBits) - 1)
+      val cand = slots.get(idx)
+      if (cand != null && cand.length == end - start && cand.hashCode == h &&
+          src.regionMatches(start, cand, 0, cand.length))
+        return cand
+      val s = intern(src.substring(start, end))
+      slots.lazySet(idx, s)
+      s
+    }
   }
 
   private final class Parser(s: String) {
@@ -164,7 +181,7 @@ object JsonValue {
       while (!done) {
         ws()
         if (i >= n || s.charAt(i) != '"') err("expected field name")
-        val k = FieldIntern.intern(parseString())
+        val k = parseFieldName()
         ws()
         if (i >= n || s.charAt(i) != ':') err("expected ':'")
         i += 1
@@ -197,6 +214,21 @@ object JsonValue {
         }
       }
       JArr(b.result())
+    }
+
+    /** Field names intern straight from the source range (no substring
+      * allocation on the no-escape fast path). */
+    private def parseFieldName(): String = {
+      i += 1 // opening '"'
+      val start = i
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { val out = FieldIntern.internRange(s, start, i); i += 1; return out }
+        if (c == '\\') return FieldIntern.intern(parseStringSlow(start))
+        if (c < ' ') err("unescaped control character in string")
+        i += 1
+      }
+      err("unterminated string")
     }
 
     private def parseString(): String = {
