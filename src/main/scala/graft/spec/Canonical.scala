@@ -531,14 +531,6 @@ object Canonical {
     // a floor the required key count already guarantees is redundant
     if (o.minProperties.exists(_ <= o.required.distinct.length))
       o = o.copy(minProperties = None)
-    // ¬(every key meets S) forces a violating key to EXIST, so a floor of
-    // one is implied (only when the negated target is purely a key
-    // constraint — any other negated facet could fail on the empty object)
-    if (o.minProperties.contains(1L) && o.not.exists {
-      case nt: Spec.Obj => nt.propertyNames.nonEmpty &&
-        only(nt)(_.copy(propertyNames = None, types = None))
-      case _ => false
-    }) o = o.copy(minProperties = None)
     if (o.items.contains(Spec.Accept)) o = o.copy(items = None)
     // `format` is annotation-only in the 2020-12 default dialect the
     // canonicalizer models (the reference's canonical output never carries
@@ -579,6 +571,16 @@ object Canonical {
           else Spec.Obj(enumVals = Some(keys.map(JStr(_))))),
         maxProperties = o.maxProperties.filter(_ < keys.length))
     }
+    // ¬(every key meets S) forces a violating key to EXIST, so a floor of
+    // one is implied (only when the negated target is purely a key
+    // constraint — any other negated facet could fail on the empty
+    // object). Runs AFTER the not-rewrites above so a respelled
+    // closed-object negation (→ ¬propertyNames) sheds its floor too.
+    if (o.minProperties.contains(1L) && o.not.exists {
+      case nt: Spec.Obj => nt.propertyNames.nonEmpty &&
+        only(nt)(_.copy(propertyNames = None, types = None))
+      case _ => false
+    }) o = o.copy(minProperties = None)
     o
   }
 
@@ -616,7 +618,12 @@ object Canonical {
           (kept.exists(JsonValue.equal(_, JBool(true))) &&
            kept.exists(JsonValue.equal(_, JBool(false)))))
       if (finiteDomain) Spec.Obj(types = Some(ts))
-      else if (kept.size == 1) Spec.Obj(const = Some(kept.head))
+      // past the i64 projection the member keeps its `enum` spelling (the
+      // reference's value model holds no const for it)
+      else if (kept.size == 1 && (kept.head match {
+        case n: JNum => n.value.abs < I64Max
+        case _ => true
+      })) Spec.Obj(const = Some(kept.head))
       else Spec.Obj(enumVals = Some(kept))
     }
   }
@@ -951,6 +958,11 @@ object Canonical {
           // a key violating the name schema must exist; the reference
           // re-spells the target with its implicit string type
           val typed = pn match {
+            // a referenced name schema keeps its pointer pristine — the
+            // implicit string type conjoins beside it (reference spelling)
+            case po: Spec.Obj if po.ref.nonEmpty =>
+              Spec.Obj(allOf = Vector(po,
+                Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]))))
             case po: Spec.Obj if po.types.isEmpty && po.const.isEmpty && po.enumVals.isEmpty =>
               po.copy(types = Some(Set(JsonType.String): Set[JsonType]))
             case other => other
@@ -1029,6 +1041,9 @@ object Canonical {
   def subsumes(general: Spec, specific: Spec): Boolean = (general, specific) match {
     case (Spec.Accept, _) => true
     case (_, Spec.Reject) => true
+    // extra conjuncts only restrict: s ⊆ s∖allOf, so g ⊇ s∖allOf ⇒ g ⊇ s
+    case (g, s: Spec.Obj) if s.allOf.nonEmpty &&
+        subsumes(g, s.copy(allOf = Vector.empty)) => true
     // a pure value set is covered when every member passes g outright
     // (the interpreter decides each finite witness exactly — g may carry
     // applicators/negations as long as its semantics are Interp-complete)
@@ -1247,10 +1262,15 @@ object Canonical {
       else return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = live))
     }
     // exact encoding via complements: oneOf[B…] = ∨ᵢ (Bᵢ ∧ ∧_{j≠i} ¬Bⱼ)
-    // — only for annotation-free scalar branches whose negations all
-    // push to positive spellings
-    if (live.length >= 2 && live.length <= 3 &&
-        live.forall { case b: Spec.Obj => scalarLeaf(b); case _ => false }) {
+    // — for annotation-free scalar branches (or partitioned unions of
+    // them) whose negations all push to positive spellings
+    def xorable(b: Spec): Boolean = b match {
+      case ob: Spec.Obj => scalarLeaf(ob) ||
+        (ob.anyOf.nonEmpty && only(ob)(_.copy(anyOf = Vector.empty)) &&
+          ob.anyOf.forall(xorable))
+      case _ => false
+    }
+    if (live.length >= 2 && live.length <= 3 && live.forall(xorable)) {
       val negs = live.map(pushNot)
       if (negs.forall(_.nonEmpty)) {
         val pieces = live.indices.toVector.map { i =>
@@ -1291,7 +1311,13 @@ object Canonical {
     items = o.items.map(canon(_, am)),
     prefixItems = o.prefixItems.map(canon(_, am)),
     contains = o.contains.map(canon(_, am)),
-    allOf = o.allOf.map(canon(_, am)),
+    allOf = o.allOf.map {
+      // a pure symbolic not (¬uniqueItems / bare ¬pattern / ¬$ref) is
+      // already in its emitted form — re-canonicalizing would re-expand
+      // the partitioned view inside its own wrapper every pass
+      case m: Spec.Obj if m.not.exists(isSymbolicNot) && only(m)(_.copy(not = None)) => m
+      case m => canon(m, am)
+    },
     anyOf = simplifyAnyOf(o.anyOf.map(canon(_, am)), am),
     oneOf = {
       val c = o.oneOf.map(canon(_, am))
@@ -1535,7 +1561,12 @@ object Canonical {
         if (typeSet.contains(JsonType.Number)) typeSet - JsonType.Integer else typeSet)))
     val valueOut: Vector[Spec] = values match {
       case Vector() => Vector.empty
-      case Vector(single) => Vector(Spec.Obj(const = Some(single)))
+      // past the i64 projection the member keeps its `enum` spelling
+      case Vector(single) if (single match {
+        case n: JNum => n.value.abs < I64Max
+        case _ => true
+      }) => Vector(Spec.Obj(const = Some(single)))
+      case Vector(single) => Vector(Spec.Obj(enumVals = Some(Vector(single))))
       case many => Vector(Spec.Obj(enumVals = Some(many)))
     }
     typeOut ++ valueOut ++ numOut ++ strOut ++ residual.result()
@@ -1548,20 +1579,30 @@ object Canonical {
   private def anyOfAlgebra(o: Spec.Obj, annotationsMatter: Boolean): Spec = {
     // unmergeable conjuncts ride along into each distributed branch:
     // (R ∧ M₁ ∧ … ∧ (B₁ ∨ B₂)) = ((R∧M…∧B₁) ∨ (R∧M…∧B₂))
-    val residueScalar = o.copy(anyOf = Vector.empty, allOf = Vector.empty)
+    // root $defs stay on the outer schema — they are referenced FROM the
+    // branches and are not a constraint to distribute
+    val residueScalar = o.copy(anyOf = Vector.empty, allOf = Vector.empty,
+      defs = Map.empty)
     val conjuncts = o.allOf
+    // a residue carrying a `not` over a scalar-leaf target still
+    // distributes — (R ∧ ¬X) ∧ (B₁ ∨ B₂) spreads like any conjunction
+    // (the divisor-partition and key-constraint conjunctions need this)
+    def residueOk(r: Spec.Obj): Boolean = {
+      val sansNot = r.copy(not = None)
+      scalarLeaf(sansNot) && sansNot.const.isEmpty && sansNot.enumVals.isEmpty &&
+      r.not.forall { case t: Spec.Obj => scalarLeaf(t); case _ => false }
+    }
     val distributable = o.anyOf.nonEmpty && o.anyOf.size <= 8 &&
       (residueScalar != Spec.empty || conjuncts.nonEmpty) &&
       conjuncts.length <= 4 &&
-      (residueScalar == Spec.empty ||
-        (scalarLeaf(residueScalar) && residueScalar.const.isEmpty && residueScalar.enumVals.isEmpty)) &&
+      (residueScalar == Spec.empty || residueOk(residueScalar)) &&
       o.anyOf.forall(_.isInstanceOf[Spec.Obj])
     val out =
       if (distributable) {
         val base = (if (residueScalar == Spec.empty) Vector.empty[Spec]
                     else Vector[Spec](residueScalar)) ++ conjuncts
         val dist = o.anyOf.map(b => canon(Spec.Obj(allOf = base :+ b), annotationsMatter))
-        Spec.Obj(anyOf = simplifyAnyOf(dist, annotationsMatter))
+        Spec.Obj(anyOf = simplifyAnyOf(dist, annotationsMatter), defs = o.defs)
       } else if (o.anyOf.nonEmpty)
         o.copy(anyOf = simplifyAnyOf(o.anyOf, annotationsMatter))
       else o
@@ -1582,11 +1623,48 @@ object Canonical {
     * fixpoint. */
   private def isSymbolicNot(t: Spec): Boolean = t match {
     case to: Spec.Obj => to.uniqueItems ||
-      (to.pattern.nonEmpty && only(to)(_.copy(pattern = None)))
+      (to.pattern.nonEmpty && only(to)(_.copy(pattern = None))) ||
+      to.ref.nonEmpty
+    case _ => false
+  }
+
+  /** The symbolic ¬uniqueItems target ({type:array, uniqueItems:true},
+    * possibly untyped): a repeat exists. */
+  private def isUniqueNot(t: Spec): Boolean = t match {
+    case to: Spec.Obj => to.uniqueItems && only(to)(_.copy(uniqueItems = false, types = None))
+    case _ => false
+  }
+  /** A pure `{not:X}` member, optionally beside a type pin. */
+  private def pureNot(m: Spec): Option[Spec] = m match {
+    case mo: Spec.Obj if mo.not.nonEmpty && only(mo)(_.copy(not = None, types = None)) =>
+      mo.not
+    case _ => None
+  }
+  /** A bare whole-definition `$ref` member, or a pure not over one —
+    * conjuncts the reference's emission leaves partitioned (unmerged). */
+  private def opaqueMember(m: Spec): Boolean = m match {
+    case mo: Spec.Obj =>
+      (mo.ref.nonEmpty && only(mo)(_.copy(ref = None))) ||
+      (mo.not.nonEmpty && only(mo)(_.copy(not = None)) &&
+        mo.not.exists { case t: Spec.Obj => t.ref.nonEmpty; case _ => false })
     case _ => false
   }
 
   private def foldAllOf(o: Spec.Obj): Spec.Obj = {
+    // reference emission view: a pure conjunction carrying a bare $ref (or
+    // a negated one) keeps its members partitioned — the resolved view
+    // lives in the analyses, not the spelling (`emit.rs` symbolic forms)
+    if (o.allOf.length >= 2 && o.allOf.exists(opaqueMember) &&
+        !o.allOf.contains(Spec.Reject) &&
+        only(o)(_.copy(allOf = Vector.empty, defs = Map.empty)) &&
+        // wrapper members still splice/hoist first (distribution through a
+        // disjunction conjunct beats freezing the spelling)
+        !o.allOf.exists {
+          case m: Spec.Obj => (m.anyOf.nonEmpty && only(m)(_.copy(anyOf = Vector.empty))) ||
+            (m.allOf.nonEmpty && only(m)(_.copy(allOf = Vector.empty)))
+          case _ => false
+        })
+      return o.copy(allOf = o.allOf.filter(_ != Spec.Accept))
     var acc = o.copy(allOf = Vector.empty)
     val keep = Vector.newBuilder[Spec]
     def visit(m: Spec): Unit = m match {
@@ -1599,6 +1677,14 @@ object Canonical {
         // a pure-disjunction member hoists into the parent's empty anyOf
         // slot, where anyOfAlgebra can distribute the residue through it
         acc = acc.copy(anyOf = sub.anyOf)
+      case sub: Spec.Obj if sub.not.exists(isUniqueNot) &&
+          only(sub)(_.copy(not = None, types = None)) &&
+          (sub.types.isEmpty || acc.types.exists(at =>
+            expand(at).subsetOf(expand(sub.types.get)))) =>
+        // symbolic ¬uniqueItems: a repeat demands at least two items (the
+        // reference's implied floor); the not itself stays a member
+        acc = acc.copy(minItems = Some(acc.minItems.fold(2L)(_ max 2L)))
+        keep += Spec.Obj(not = sub.not)
       case sub: Spec.Obj if sub.not.nonEmpty && acc.not.isEmpty &&
           !sub.not.exists(isSymbolicNot) &&
           only(sub)(_.copy(not = None, types = None)) &&
@@ -1619,7 +1705,74 @@ object Canonical {
       case other => keep += other
     }
     o.allOf.foreach(visit)
-    acc.copy(allOf = keep.result().distinct)
+    var kept = keep.result().distinct
+    // distinctness ∧ a repeat demand shares no array (sound only with the
+    // instance pinned to arrays — elsewhere the negated conjunct passes)
+    if (acc.uniqueItems && acc.types.exists(t => t.nonEmpty &&
+        t.subsetOf(Set(JsonType.Array): Set[JsonType])) &&
+        kept.exists(m => pureNot(m).exists(isUniqueNot)))
+      return acc.copy(allOf = Vector(Spec.Reject))
+    // negated-divisor subsumption: a | b ⇒ ¬multipleOf(a) implies
+    // ¬multipleOf(b) — the covered negation drops (negate.rs divisor pair)
+    def notDiv(t: Spec): Option[BigDecimal] = t match {
+      case to: Spec.Obj if to.multipleOf.exists(_.signum > 0) &&
+          only(to)(_.copy(multipleOf = None)) => to.multipleOf
+      case _ => None
+    }
+    // a member's OWN type pin must cover the parent's before the member
+    // can be dropped as implied (dropping would also drop the pin)
+    def typeCovered(m: Spec): Boolean = m match {
+      case mo: Spec.Obj => mo.types.isEmpty || acc.types.exists(at =>
+        expand(at).subsetOf(expand(mo.types.get)))
+      case _ => true
+    }
+    val negDivs = (acc.not.flatMap(notDiv).map(("acc", _, true)).toVector) ++
+      kept.zipWithIndex.flatMap { case (m, i) =>
+        pureNot(m).flatMap(notDiv).map((s"k$i", _, typeCovered(m))) }
+    if (negDivs.length >= 2) {
+      val covered = negDivs.filter { case (tag, b, droppable) =>
+        droppable && negDivs.exists { case (t2, a, _) => t2 != tag &&
+          (b / a).isWhole && (a < b || (a == b && t2 < tag)) }
+      }.map(_._1).toSet
+      if (covered.nonEmpty) {
+        if (covered("acc")) acc = acc.copy(not = None)
+        kept = kept.zipWithIndex.filterNot { case (m, i) => covered(s"k$i") }.map(_._1)
+      }
+    }
+    // a top-level ¬multipleOf(m) barring every whole beside a conjunct
+    // pinned to integers: nothing satisfies both
+    if (acc.not.exists {
+      case t: Spec.Obj => t.multipleOf.exists(m => m.signum > 0 &&
+          vacuousOverIntegers(m)) && only(t)(_.copy(multipleOf = None))
+      case _ => false
+    } && kept.exists {
+      case m: Spec.Obj => m.types.exists(ts => ts.nonEmpty &&
+        ts.subsetOf(Set(JsonType.Integer): Set[JsonType]))
+      case _ => false
+    }) return acc.copy(allOf = Vector(Spec.Reject))
+    // TWO negated key-set constraints on one object render as a
+    // conjunction of bare nots (the reference demotes the hoisted one)
+    def pnNot(t: Spec): Boolean = t match {
+      case to: Spec.Obj => to.propertyNames.nonEmpty && only(to)(_.copy(propertyNames = None))
+      case _ => false
+    }
+    if (acc.not.exists(pnNot) && kept.exists(m => pureNot(m).exists(pnNot))) {
+      val objPinned = acc.types.exists(t => t.nonEmpty &&
+        t.subsetOf(Set(JsonType.Object): Set[JsonType]))
+      if (objPinned) {
+        kept = Spec.Obj(not = acc.not) +: kept.map { m =>
+          (m, pureNot(m)) match {
+            // the member's own type pin is redundant under the parent's
+            case (mo: Spec.Obj, Some(n)) if pnNot(n) && (mo.types.isEmpty ||
+                acc.types.exists(at => expand(at).subsetOf(expand(mo.types.get)))) =>
+              Spec.Obj(not = Some(n))
+            case _ => m
+          }
+        }
+        acc = acc.copy(not = None)
+      }
+    }
+    acc.copy(allOf = kept)
   }
 
   /** Conjunction-merge `b` into `a`; None if any keyword of `b` conflicts
@@ -1660,7 +1813,7 @@ object Canonical {
       b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
       b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
       b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
-      (b.not.nonEmpty && a.not.nonEmpty) || b.not.exists(isSymbolicNot) ||
+      (b.not.nonEmpty && a.not.nonEmpty && a.not != b.not) || b.not.exists(isSymbolicNot) ||
       b.ifSpec.nonEmpty || b.ref.nonEmpty ||
       // unevaluated* scope over the member's OWN in-place applicators and
       // content* has no merge rule — hoisting either changes the accepted
@@ -1819,9 +1972,29 @@ object Canonical {
     // satisfiable by Y alone.
     (o.oneOf.length >= 2 && o.oneOf.distinct.length == 1) ||
     notSubsumesSelf(o) ||
+    // an integer-only leaf barred from a divisor every integer meets
+    // (¬multipleOf(m) with m dividing all wholes) admits nothing
+    (intOnly && barredFromWholeDivisor(o)) ||
     (objOnly && o.maxProperties.exists(_ < o.required.distinct.size)) ||
     notDominatesPinnedKeys(o, objOnly) ||
     valueWitnessFails(o)
+  }
+
+  /** An integer-only leaf conjoined (directly or via an allOf member) with
+    * ¬multipleOf(m) where every integer is a multiple of m: unsatisfiable. */
+  private def barredFromWholeDivisor(o: Spec.Obj): Boolean = {
+    def vacuousNot(t: Spec): Boolean = t match {
+      case to: Spec.Obj => to.multipleOf.exists(m => m.signum > 0 &&
+          vacuousOverIntegers(m)) &&
+        only(to)(_.copy(multipleOf = None, types = None)) &&
+        to.types.forall(ts => ts.contains(JsonType.Integer) || ts.contains(JsonType.Number))
+      case _ => false
+    }
+    o.not.exists(vacuousNot) || o.allOf.exists {
+      case m: Spec.Obj => m.not.exists(vacuousNot) &&
+        only(m)(_.copy(not = None, types = None))
+      case _ => false
+    }
   }
 
   /** `required` + `maxProperties` can pin the accepted objects' KEY SET to
