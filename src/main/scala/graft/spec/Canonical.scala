@@ -40,6 +40,7 @@ object Canonical {
     // subschemas, which would dangle JSON-pointer refs and change anchor /
     // dynamic-scope resolution — leave such documents untouched.
     resetCanonWork()
+    rootDefsTL.set(s1 match { case o: Spec.Obj => o.defs; case _ => Map.empty })
     if (usesAdvancedReferencing(s1)) s1
     else canon(s1, annotationsMatter = containsUnevaluated(s1)) match {
       case o: Spec.Obj if recursivelyEmpty(o) => Spec.Reject
@@ -224,6 +225,14 @@ object Canonical {
     case Spec.Accept => Spec.Accept
     case Spec.Reject => Spec.Reject
     case o: Spec.Obj =>
+      // literal X ∧ ¬X dies BEFORE recursion: once children canonicalize,
+      // a pushable ¬X member partitions and the whole-schema contradiction
+      // is no longer visible to the conjunction analyses
+      if (o.allOf.exists { case m: Spec.Obj =>
+            m.not.exists(n => only(m)(_.copy(not = None)) &&
+              (o.allOf.contains(n) || o.not.contains(n)))
+          case _ => false })
+        return Spec.Reject
       val folded = foldAllOf(oneOfAlgebra(pushNotKeyword(recurse(o, annotationsMatter))))
       val alg = if (annotationsMatter) folded else anyOfAlgebra(folded, annotationsMatter)
       alg match {
@@ -634,6 +643,21 @@ object Canonical {
   private def only(o: Spec.Obj)(clear: Spec.Obj => Spec.Obj): Boolean =
     clear(o) == Spec.empty
 
+  /** Root-document `$defs`, visible to the negation algebra: the
+    * reference resolves symbolic branches before complementing (the
+    * SPELLINGS keep the refs; only the complement computation chases). */
+  private val rootDefsTL: ThreadLocal[Map[String, Spec]] =
+    ThreadLocal.withInitial(() => Map.empty[String, Spec])
+  private def chaseRootDefs(s: Spec, hops: Int = 0): Spec = s match {
+    case r: Spec.Obj if hops < 8 && only(r)(_.copy(ref = None)) &&
+        r.ref.exists(_.startsWith("#/$defs/")) =>
+      val name = r.ref.get.stripPrefix("#/$defs/")
+        .replace("~1", "/").replace("~0", "~")
+      if (name.contains('/')) s
+      else rootDefsTL.get().get(name).map(chaseRootDefs(_, hops + 1)).getOrElse(s)
+    case _ => s
+  }
+
   /** Push a `not` into a positive form where the algebra allows:
     * De Morgan over anyOf, double negation, and typed-leaf negation of
     * single bound/length/size keywords (the "vacuous pass" rule means
@@ -669,6 +693,12 @@ object Canonical {
         val within = if (depth <= 2 && !hasNot(o.not.get)) canon(conj, false) else conj
         Some(Spec.Obj(anyOf = comp :+ within))
       }
+      else if (o.anyOf.nonEmpty && o.anyOf.length > 4 &&
+          only(o)(_.copy(anyOf = Vector.empty)))
+        // a union too wide to complement branch-by-branch keeps its not
+        // symbolic (the reference's width budget: the De Morgan product
+        // multiplies each branch's partition pieces)
+        None
       else if (o.anyOf.nonEmpty && only(o)(_.copy(anyOf = Vector.empty)))
         // De Morgan: ¬(a ∨ b) = ¬a ∧ ¬b (each negation pushed in turn)
         Some(Spec.Obj(allOf = o.anyOf.map { b =>
@@ -680,6 +710,27 @@ object Canonical {
             case None => w
           }
         }))
+      else if (o.oneOf.length == 2 && only(o)(_.copy(oneOf = Vector.empty)) &&
+          depth <= 4) {
+        // ¬(exactly one of A,B) = (A∧B) ∨ (¬A∧¬B) — complements computed
+        // on the defs-RESOLVED branches (negate.rs); the shared-values
+        // conjunct keeps the symbolic spellings
+        val a = o.oneOf(0); val b = o.oneOf(1)
+        val ra = chaseRootDefs(a); val rb = chaseRootDefs(b)
+        (pushNot(ra, bare = true, depth + 1), pushNot(rb, bare = true, depth + 1)) match {
+          case (Some(na), Some(nb)) =>
+            val both: Spec =
+              if (disjoint(ra, rb)) Spec.Reject
+              else canon(Spec.Obj(allOf = Vector(a, b)), false)
+            val neither = canon(Spec.Obj(allOf = Vector(na, nb)), false)
+            Some(Vector(both, neither).filter(_ != Spec.Reject) match {
+              case Vector() => Spec.Reject
+              case Vector(one) => one
+              case many => Spec.Obj(anyOf = many)
+            })
+          case _ => None
+        }
+      }
       else negateLeaf(o, bare, depth)
   }
 
@@ -733,10 +784,6 @@ object Canonical {
       o.id.nonEmpty || o.anchor.nonEmpty || o.dynamicAnchor.nonEmpty || o.recursiveAnchor ||
       o.defs.nonEmpty || o.others.nonEmpty ||
       o.patternProperties.nonEmpty ||
-      // a value shield beside declared properties negates into a per-key
-      // split (negate.rs full form) we don't model; a BARE shield keeps
-      // its not inside the object branch (handled below)
-      (o.additionalProperties.nonEmpty && o.properties.nonEmpty) ||
       o.dependentRequired.nonEmpty || o.dependentSchemas.nonEmpty ||
       // ¬(items S) within array spells as `contains ¬S` (and ¬contains as
       // items); beside a prefix tuple only a CLOSED tail (items:false)
@@ -981,16 +1028,23 @@ object Canonical {
                 properties = Vector(k -> ns))
           }
         }
-        // a BARE value shield (additionalProperties with no declared
-        // properties): its complement has no positive spelling — the not
-        // stays inside the object branch with the implicit type hoisted
+        // a value shield (additionalProperties): its complement has no
+        // positive spelling — the not stays inside the object branch with
+        // the implicit type hoisted. Beside declared properties the shield
+        // applies only to UNDECLARED keys, so the kept not masks the
+        // declared ones with `true` (negate.rs partitioned object view:
+        // the per-key branches above own the declared-key failures).
         o.additionalProperties.foreach { ap =>
           if (ap == Spec.Accept) () // never fails
-          else if (ap == Spec.Reject) // ¬(no properties at all)
+          else if (ap == Spec.Reject && o.properties.isEmpty) // ¬(no properties at all)
             branches += Spec.Obj(types = ot, minProperties = Some(1L))
-          else
+          else {
+            val mask =
+              if (o.properties.isEmpty) Vector.empty[(String, Spec)]
+              else o.properties.map { case (k, _) => k -> (Spec.Accept: Spec) }
             branches += Spec.Obj(types = ot,
-              not = Some(Spec.Obj(additionalProperties = Some(ap))))
+              not = Some(Spec.Obj(additionalProperties = Some(ap), properties = mask)))
+          }
         }
       }
     }
@@ -1123,6 +1177,16 @@ object Canonical {
     // disjoint declared types prove disjointness regardless of the rest
     case (x: Spec.Obj, y: Spec.Obj) if x.types.nonEmpty && y.types.nonEmpty &&
         expand(x.types.get).intersect(expand(y.types.get)).isEmpty => true
+    // discriminated unions: both sides REQUIRE a tag key whose declared
+    // value sets share no member (algebra.rs tagged-branch disjointness)
+    case (x: Spec.Obj, y: Spec.Obj) if {
+      def tagVals(o: Spec.Obj, k: String): Option[Vector[JsonValue]] =
+        o.properties.collectFirst { case (`k`, p: Spec.Obj) =>
+          p.const.map(Vector(_)).orElse(p.enumVals) }.flatten
+      x.required.exists(k => y.required.contains(k) &&
+        tagVals(x, k).zip(tagVals(y, k)).exists { case (vx, vy) =>
+          vx.forall(v => !vy.exists(JsonValue.equal(_, v))) })
+    } => true
     // one side requires a pattern the other side's not forbids verbatim
     case (x: Spec.Obj, y: Spec.Obj) if {
       def forbids(n: Spec.Obj, p: String) = n.not.exists {
