@@ -457,7 +457,6 @@ object Canonical {
         case oo => oo
       }
       val eligible =
-        o.types.isEmpty && // ONLY untyped leaves partition; typed stay compact
         o.const.isEmpty && o.enumVals.isEmpty && o.not.isEmpty &&
         o.allOf.isEmpty && o.anyOf.isEmpty && o.oneOf.isEmpty &&
         o.ifSpec.isEmpty && o.thenSpec.isEmpty && o.elseSpec.isEmpty &&
@@ -481,29 +480,36 @@ object Canonical {
       val boundsModeled = (o.minimum.toSeq ++ o.maximum ++ o.exclusiveMinimum ++
         o.exclusiveMaximum ++ o.multipleOf).forall(_.abs <= I64Max)
       if (hasNum && !boundsModeled) return o
+      // a TYPED leaf partitions too when its declared types extend beyond
+      // the constrained domains (the constraint is vacuous on the extra
+      // types — reference IR holds such leaves partitioned by type);
+      // types inside the constrained domains stay compact
+      val declared = o.types.map(atomsOf).getOrElse(allAtoms)
       var constrained = Set.empty[String]
       val groups = Vector.newBuilder[Spec]
-      if (hasNum) {
+      if (hasNum && declared.contains("int")) {
         constrained ++= Set("int", "nonint")
+        val numTypes: Set[JsonType] =
+          if (declared.contains("nonint")) Set(JsonType.Number) else Set(JsonType.Integer)
         groups += numericNormalize(Spec.Obj(
-          types = Some(Set(JsonType.Number): Set[JsonType]),
+          types = Some(numTypes),
           minimum = o.minimum, maximum = o.maximum,
           exclusiveMinimum = o.exclusiveMinimum, exclusiveMaximum = o.exclusiveMaximum,
           multipleOf = o.multipleOf))
       }
-      if (hasStr) {
+      if (hasStr && declared.contains("string")) {
         constrained += "string"
         groups += Spec.Obj(types = Some(Set(JsonType.String): Set[JsonType]),
           minLength = o.minLength.filter(_ > 0L), maxLength = o.maxLength)
       }
-      if (hasArr) {
+      if (hasArr && declared.contains("array")) {
         constrained += "array"
         groups += Spec.Obj(types = Some(Set(JsonType.Array): Set[JsonType]),
           minItems = o.minItems.filter(_ > 0L), maxItems = o.maxItems,
           uniqueItems = o.uniqueItems, items = o.items, prefixItems = o.prefixItems,
           contains = o.contains, minContains = o.minContains, maxContains = o.maxContains)
       }
-      if (hasObj) {
+      if (hasObj && declared.contains("object")) {
         constrained += "object"
         groups += Spec.Obj(types = Some(Set(JsonType.Object): Set[JsonType]),
           minProperties = o.minProperties.filter(_ > 0L), maxProperties = o.maxProperties,
@@ -514,7 +520,8 @@ object Canonical {
       }
       val gs = groups.result().filter(g => g != Spec.empty)
       if (gs.isEmpty) return o
-      val free = allAtoms -- constrained
+      val free = declared -- constrained
+      if (o.types.nonEmpty && free.isEmpty) return o // in-domain typed leaf stays compact
       val pieces = typesFromAtoms(free) ++ gs
       pieces match {
         case Vector() => o
@@ -1089,6 +1096,47 @@ object Canonical {
   private def expand(ts: Set[JsonType]): Set[JsonType] =
     if (ts.contains(JsonType.Number)) ts + JsonType.Integer else ts
 
+  /** Upper bound on the types instances of `s` can take; None = unknown. */
+  private def possibleTypes(s: Spec): Option[Set[JsonType]] = s match {
+    case o: Spec.Obj =>
+      o.types.orElse(o.const.map(c => Set(c.jsonType)))
+        .orElse(o.enumVals.map(_.map(_.jsonType).toSet))
+        .map(expand)
+    case _ => None
+  }
+
+  /** Does `g` accept every instance whose type lies in `ts`? True when g
+    * has no type/value/combinator/ref constraints and each populated
+    * keyword family's domain misses every type in `ts` (per-keyword
+    * vacuity: non-applicable types pass, minmax.rs:59-65). */
+  private def vacuousFor(g: Spec.Obj, tsOpt: Option[Set[JsonType]]): Boolean =
+    tsOpt.exists { ts0 =>
+      val ts = expand(ts0)
+      def miss(t: JsonType*) = !t.exists(ts.contains)
+      g.types.isEmpty && g.const.isEmpty && g.enumVals.isEmpty &&
+      g.allOf.isEmpty && g.anyOf.isEmpty && g.oneOf.isEmpty && g.not.isEmpty &&
+      g.ifSpec.isEmpty && g.thenSpec.isEmpty && g.elseSpec.isEmpty &&
+      g.unevaluatedProperties.isEmpty && g.unevaluatedItems.isEmpty &&
+      g.ref.isEmpty && g.dynamicRef.isEmpty && g.recursiveRef.isEmpty &&
+      g.others.isEmpty && g.format.isEmpty &&
+      (miss(JsonType.Number, JsonType.Integer) ||
+        (g.minimum.isEmpty && g.maximum.isEmpty && g.exclusiveMinimum.isEmpty &&
+          g.exclusiveMaximum.isEmpty && g.multipleOf.isEmpty)) &&
+      (miss(JsonType.String) ||
+        (g.minLength.isEmpty && g.maxLength.isEmpty && g.pattern.isEmpty &&
+          g.contentEncoding.isEmpty && g.contentMediaType.isEmpty &&
+          g.contentSchema.isEmpty)) &&
+      (miss(JsonType.Object) ||
+        (g.properties.isEmpty && g.patternProperties.isEmpty &&
+          g.additionalProperties.isEmpty && g.propertyNames.isEmpty &&
+          g.required.isEmpty && g.minProperties.isEmpty && g.maxProperties.isEmpty &&
+          g.dependentRequired.isEmpty && g.dependentSchemas.isEmpty)) &&
+      (miss(JsonType.Array) ||
+        (g.items.isEmpty && g.prefixItems.isEmpty && g.minItems.isEmpty &&
+          g.maxItems.isEmpty && !g.uniqueItems && g.contains.isEmpty &&
+          g.minContains.isEmpty && g.maxContains.isEmpty))
+    }
+
   /** Does `g` (general) provably accept everything `s` (specific) accepts?
     * Conservative — false when unsure. Used to drop covered anyOf branches
     * (`algebra.rs:1770+` covered-branch dropping, lite). */
@@ -1098,6 +1146,14 @@ object Canonical {
     // extra conjuncts only restrict: s ⊆ s∖allOf, so g ⊇ s∖allOf ⇒ g ⊇ s
     case (g, s: Spec.Obj) if s.allOf.nonEmpty &&
         subsumes(g, s.copy(allOf = Vector.empty)) => true
+    // a pure union covers s when any branch does
+    case (g: Spec.Obj, s) if g.anyOf.nonEmpty &&
+        only(g)(_.copy(anyOf = Vector.empty)) &&
+        g.anyOf.exists(subsumes(_, s)) => true
+    // constraints are vacuous outside their type domain (minmax.rs:59-65
+    // lifted to whole-schema coverage): when every keyword family g
+    // carries applies only to types s can never take, g accepts all of s
+    case (g: Spec.Obj, s: Spec.Obj) if vacuousFor(g, possibleTypes(s)) => true
     // a pure value set is covered when every member passes g outright
     // (the interpreter decides each finite witness exactly — g may carry
     // applicators/negations as long as its semantics are Interp-complete)
@@ -1324,6 +1380,20 @@ object Canonical {
         disjoint(chase(p(0), 0), chase(p(1), 0)))) {
       if (o.anyOf.isEmpty) return o.copy(oneOf = Vector.empty, anyOf = live)
       else return o.copy(oneOf = Vector.empty, allOf = o.allOf :+ Spec.Obj(anyOf = live))
+    }
+    // covered branch: A ⊆ B ⇒ exactly-one ≡ B ∧ ¬A (a branch overlapping
+    // only by vacuity never joins the counting plan — its own exclusive
+    // region A∧¬B is empty)
+    if (live.length == 2) {
+      val a = live(0); val b = live(1)
+      def conj(big: Spec, small: Spec): Option[Spec.Obj] =
+        pushNot(small).map(ns => o.copy(oneOf = Vector.empty,
+          allOf = o.allOf ++ Vector(big, ns)))
+      val r =
+        if (subsumes(chase(b, 0), chase(a, 0))) conj(b, a)
+        else if (subsumes(chase(a, 0), chase(b, 0))) conj(a, b)
+        else None
+      r.foreach(x => return x)
     }
     // exact encoding via complements: oneOf[B…] = ∨ᵢ (Bᵢ ∧ ∧_{j≠i} ¬Bⱼ)
     // — for annotation-free scalar branches (or partitioned unions of
@@ -1875,7 +1945,17 @@ object Canonical {
       // intersection — those stay as allOf members)
       (b.propertyNames.nonEmpty && a.propertyNames.nonEmpty) ||
       b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
-      b.items.nonEmpty || b.prefixItems.nonEmpty || b.contains.nonEmpty ||
+      // items/prefixItems/contains hoist into EMPTY parent slots (allOf
+      // membership vs parent position is annotation-equivalent; two of a
+      // kind would need semantic intersection). items and prefixItems are
+      // positional partners: a prefix on either side pins the other's
+      // items to the tail, so any cross-pairing blocks the hoist; a
+      // hoisted contains must not activate inert min/maxContains on the
+      // parent
+      (b.items.nonEmpty && (a.items.nonEmpty || a.prefixItems.nonEmpty)) ||
+      (b.prefixItems.nonEmpty && (a.items.nonEmpty || a.prefixItems.nonEmpty)) ||
+      (b.contains.nonEmpty && (a.contains.nonEmpty ||
+        a.minContains.nonEmpty || a.maxContains.nonEmpty)) ||
       b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
       (b.not.nonEmpty && a.not.nonEmpty && a.not != b.not) || b.not.exists(isSymbolicNot) ||
       b.ifSpec.nonEmpty || b.ref.nonEmpty ||
@@ -1948,6 +2028,9 @@ object Canonical {
       additionalProperties = a.additionalProperties.orElse(b.additionalProperties),
       propertyNames = a.propertyNames.orElse(b.propertyNames),
       not = a.not.orElse(b.not),
+      items = a.items.orElse(b.items),
+      prefixItems = if (a.prefixItems.nonEmpty) a.prefixItems else b.prefixItems,
+      contains = a.contains.orElse(b.contains),
       minContains = maxOfL(a.minContains, b.minContains),
       maxContains = minOfL(a.maxContains, b.maxContains),
     ))

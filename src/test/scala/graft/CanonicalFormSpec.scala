@@ -24,7 +24,7 @@ class CanonicalFormSpec extends AnyFunSuite {
     * `not:{enum}` spellings an exact-decimal engine decides instead.
     * Every covered class is asserted strictly through the floor. */
   val ratchetFloor: Map[String, Int] = Map(
-    "negation.json" -> 95, "oneof.json" -> 35)
+    "negation.json" -> 100, "oneof.json" -> 36)
 
   /** Known, understood divergences of the lite normal form, keyed by
     * "file / description"; each entry documents WHY the forms differ while
