@@ -240,7 +240,13 @@ object Canonical {
           val nf = numericNormalize(f)
           if (isContradictory(nf)) Spec.Reject
           else valueSetCollapse(nf, annotationsMatter) match {
-            case v0: Spec.Obj =>
+            case v00: Spec.Obj =>
+              val v0 =
+                if (annotationsMatter) v00
+                else valueSetObjectRespell(v00) match {
+                  case r: Spec.Obj => r
+                  case other => return other
+                }
               val v = if (annotationsMatter) v0 else objectSpelling(v0)
               val c = constEquivalence(dedupEnum(v))
               if (c == Spec.empty) Spec.Accept
@@ -641,6 +647,49 @@ object Canonical {
         case _ => true
       })) Spec.Obj(const = Some(kept.head))
       else Spec.Obj(enumVals = Some(kept))
+    }
+  }
+
+  /** A value set of OBJECT members beside an UNDECIDABLE negation (a kept
+    * `not` carrying `$ref`s — Interp member-filtering is gated) respells
+    * as exact object constraints: members grouped by key set, each group a
+    * `{type:object, required:keys, maxProperties:|keys|, properties:
+    * {k: values-at-k}}` branch conjoined with the kept not (the
+    * reference's pinned-member partitioned emission). Exactness: a
+    * single-key group is always the full product of its values; multi-key
+    * groups respell only as singletons. */
+  private def valueSetObjectRespell(o: Spec.Obj): Spec = {
+    val members = o.const.map(Vector(_)).orElse(o.enumVals).getOrElse(Vector.empty)
+    val eligible = members.nonEmpty && members.forall(_.isInstanceOf[JObj]) &&
+      o.not.exists(containsRefs) &&
+      only(o)(_.copy(const = None, enumVals = None, not = None, types = None,
+        defs = Map.empty)) &&
+      o.types.forall(ts => expand(ts).contains(JsonType.Object))
+    if (!eligible) return o
+    val objs = members.collect { case m: JObj => m }
+    val groups = objs.groupBy(_.fields.map(_._1).sorted).toVector.sortBy(_._1.mkString(" "))
+    if (!groups.forall { case (ks, ms) => ks.length <= 1 || ms.length == 1 }) return o
+    def valueSpec(vs: Vector[JsonValue]): Spec = {
+      val uniq = vs.foldLeft(Vector.empty[JsonValue])((acc, v) =>
+        if (acc.exists(JsonValue.equal(_, v))) acc else acc :+ v)
+      if (uniq.size == 1 && (uniq.head match {
+        case n: JNum => n.value.abs < I64Max
+        case _ => true
+      })) Spec.Obj(const = Some(uniq.head))
+      else Spec.Obj(enumVals = Some(uniq))
+    }
+    val branches: Vector[Spec.Obj] = groups.map { case (ks, ms) =>
+      Spec.Obj(
+        types = Some(Set(JsonType.Object): Set[JsonType]),
+        required = ks,
+        maxProperties = Some(ks.length.toLong),
+        properties = ks.map(k => k ->
+          valueSpec(ms.flatMap(m => m.fields.collect { case (`k`, v) => v }))),
+        not = o.not)
+    }
+    branches match {
+      case Vector(one) => one.copy(defs = o.defs)
+      case many => Spec.Obj(anyOf = many.toVector, defs = o.defs)
     }
   }
 
@@ -1710,7 +1759,27 @@ object Canonical {
     * R ∧ (B₁ ∨ B₂) = (R∧B₁) ∨ (R∧B₂) when the residue R is a scalar leaf
     * — branches that die erase themselves and a sole survivor replaces
     * the whole disjunction. Also unwraps a singleton anyOf. */
-  private def anyOfAlgebra(o: Spec.Obj, annotationsMatter: Boolean): Spec = {
+  private def anyOfAlgebra(o0: Spec.Obj, annotationsMatter: Boolean): Spec = {
+    // a value set beside the union kills branches no member could satisfy
+    // (the members are the only candidate instances): a branch pinned to
+    // types disjoint from every member's type drops; a sole survivor is
+    // plain conjunction and merges into the parent when it can
+    val o: Spec.Obj = o0.const.map(Vector(_)).orElse(o0.enumVals) match {
+      case Some(ms) if o0.anyOf.nonEmpty && ms.nonEmpty =>
+        val mts = expand(ms.map(_.jsonType).toSet)
+        val pruned = o0.anyOf.filter {
+          case b: Spec.Obj if b.types.nonEmpty &&
+              expand(b.types.get).intersect(mts).isEmpty => false
+          case _ => true
+        }
+        if (pruned.isEmpty) return Spec.Reject
+        (pruned match {
+          case Vector(b: Spec.Obj) if pruned.length < o0.anyOf.length =>
+            mergeInto(o0.copy(anyOf = Vector.empty), b)
+          case _ => None
+        }).getOrElse(o0.copy(anyOf = pruned))
+      case _ => o0
+    }
     // unmergeable conjuncts ride along into each distributed branch:
     // (R ∧ M₁ ∧ … ∧ (B₁ ∨ B₂)) = ((R∧M…∧B₁) ∨ (R∧M…∧B₂))
     // root $defs stay on the outer schema — they are referenced FROM the
@@ -1840,6 +1909,79 @@ object Canonical {
     }
     o.allOf.foreach(visit)
     var kept = keep.result().distinct
+    // value shields meeting on no value close the map over the declared
+    // keys (the reference's closed-object view): X ∧ Y where both carry
+    // additionalProperties whose meet admits nothing ⇒ only X's declared
+    // keys can appear, each under the meet of its per-key coverage and
+    // the other shield; the key set spells as a propertyNames value set.
+    // Sound only with the instance pinned to objects.
+    if (acc.types.exists(t => t.nonEmpty && t.subsetOf(Set(JsonType.Object): Set[JsonType]))) {
+      def closeMap(mapProps: Vector[(String, Spec)], mapPn: Option[Spec],
+                   mapReq: Vector[String], otherShield: Spec): Option[
+          (Vector[(String, Spec)], Spec, Vector[String])] = {
+        val met = mapProps.map { case (k, v) =>
+          k -> canon(Spec.Obj(allOf = Vector(v, otherShield)), false) }
+        val alive = met.filter(_._2 != Spec.Reject)
+        val reqd = (acc.required ++ mapReq).distinct
+        if (reqd.exists(k => !alive.exists(_._1 == k))) return Some((Vector.empty, Spec.Reject, reqd))
+        val keyEnum: Spec =
+          if (alive.isEmpty) Spec.Reject
+          else Spec.Obj(enumVals = Some(alive.map(e => JStr(e._1): JsonValue)))
+        val pn = mapPn match {
+          case Some(p) => canon(Spec.Obj(allOf = Vector(p, keyEnum)), false)
+          case None => canon(keyEnum, false)
+        }
+        Some((alive, pn, reqd))
+      }
+      def shieldsClash(x: Spec, y: Spec): Boolean =
+        canon(Spec.Obj(allOf = Vector(x, y)), false) == Spec.Reject
+      val accShieldOnly = acc.additionalProperties.nonEmpty && acc.properties.isEmpty &&
+        acc.patternProperties.isEmpty && acc.propertyNames.isEmpty
+      val accMapSide = acc.additionalProperties.nonEmpty && acc.properties.nonEmpty &&
+        acc.patternProperties.isEmpty
+      def objCovered(x: Spec.Obj): Boolean = x.types.isEmpty ||
+        acc.types.exists(at => expand(at).subsetOf(expand(x.types.get)))
+      val idx = kept.indexWhere {
+        case mo: Spec.Obj if accShieldOnly =>
+          mo.additionalProperties.nonEmpty && mo.properties.nonEmpty &&
+          mo.patternProperties.isEmpty && objCovered(mo) &&
+          only(mo)(_.copy(additionalProperties = None, properties = Vector.empty,
+            propertyNames = None, types = None, minProperties = None,
+            maxProperties = None, required = Vector.empty))
+        case so: Spec.Obj if accMapSide =>
+          so.additionalProperties.nonEmpty && so.properties.isEmpty &&
+          so.patternProperties.isEmpty && so.propertyNames.isEmpty &&
+          objCovered(so) &&
+          only(so)(_.copy(additionalProperties = None, types = None))
+        case _ => false
+      }
+      if (idx >= 0) {
+        val mo = kept(idx).asInstanceOf[Spec.Obj]
+        if (shieldsClash(acc.additionalProperties.get, mo.additionalProperties.get)) {
+          val closed =
+            if (accShieldOnly)
+              closeMap(mo.properties, mo.propertyNames, mo.required,
+                acc.additionalProperties.get).map { case (ps, pn, rq) =>
+                acc.copy(additionalProperties = None, properties = ps,
+                  propertyNames = Some(pn), required = rq,
+                  minProperties = maxOfL(acc.minProperties, mo.minProperties),
+                  maxProperties = minOfL(acc.maxProperties, mo.maxProperties))
+              }
+            else
+              closeMap(acc.properties, acc.propertyNames, acc.required,
+                mo.additionalProperties.get).map { case (ps, pn, rq) =>
+                acc.copy(additionalProperties = None, properties = ps,
+                  propertyNames = Some(pn), required = rq)
+              }
+          closed.foreach { c =>
+            if (c.propertyNames.contains(Spec.Reject) && c.required.nonEmpty)
+              return acc.copy(allOf = Vector(Spec.Reject))
+            acc = c
+            kept = kept.patch(idx, Nil, 1)
+          }
+        }
+      }
+    }
     // distinctness ∧ a repeat demand shares no array (sound only with the
     // instance pinned to arrays — elsewhere the negated conjunct passes)
     if (acc.uniqueItems && acc.types.exists(t => t.nonEmpty &&

@@ -23,8 +23,10 @@ class CanonicalFormSpec extends AnyFunSuite {
     * the oneOf exact-encoding complements built on it, and the past-i64
     * `not:{enum}` spellings an exact-decimal engine decides instead.
     * Every covered class is asserted strictly through the floor. */
-  val ratchetFloor: Map[String, Int] = Map(
-    "negation.json" -> 100, "oneof.json" -> 36)
+  /** Empty: every corpus file is now asserted STRICTLY (negation and
+    * oneof left the ratchet when their last partitioned-view divergences
+    * closed — only documented knownDivergent f64 spellings remain). */
+  val ratchetFloor: Map[String, Int] = Map.empty
 
   /** Known, understood divergences of the lite normal form, keyed by
     * "file / description"; each entry documents WHY the forms differ while
