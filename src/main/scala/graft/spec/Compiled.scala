@@ -57,6 +57,23 @@ object Compiled {
       Some(v => d(v, scope0))
     } catch { case Bail => None }
 
+  /** Sub-compilation facade for the streaming validator (Streaming.scala):
+    * compile tree-side twins of specific nodes with the correct same-value
+    * cycle-cut chain, sharing one Builder (and its memo + budget) per
+    * streaming compile. Signatures spell out D because D is private. */
+  private[spec] final class Sub(registry: Registry, assertFormats: Boolean) {
+    private val b = new Builder(registry, assertFormats)
+    /** Check set of `s` in same-value chain `sp` (Builder.same). */
+    def sameAt(s: Spec, sp: List[Spec.Obj]): (JsonValue, List[Registry.Resource]) => Boolean =
+      b.same(s, sp)
+    /** Entry compilation of a structural child (Builder.descend). */
+    def entryAt(s: Spec): (JsonValue, List[Registry.Resource]) => Boolean =
+      b.descend(s)
+  }
+
+  /** Budget-exceeded marker test (Bail is private). */
+  private[spec] def isBail(t: Throwable): Boolean = t.asInstanceOf[AnyRef] eq Bail
+
   /** Per-thread stack of (schema-node, instance) pairs for the dynamic
     * dispatch sites' cycle rule. */
   private val dynStack = new ThreadLocal[java.util.ArrayDeque[(AnyRef, AnyRef)]] {
@@ -93,8 +110,10 @@ object Compiled {
     }
 
     /** Compile for a SAME-VALUE position (ref/combinator edge): `sp` is
-      * the chain of schema nodes already entered at this instance value. */
-    private def same(s: Spec, sp: List[Spec.Obj]): D = s match {
+      * the chain of schema nodes already entered at this instance value.
+      * `private[spec]` so the streaming validator's Sub facade can compile
+      * materialization twins with the SAME cycle-cut chain. */
+    private[spec] def same(s: Spec, sp: List[Spec.Obj]): D = s match {
       case Spec.Accept => TrueD
       case Spec.Reject => FalseD
       case o: Spec.Obj =>

@@ -33,6 +33,23 @@ object Interp {
       case None    => isValidInterp(v)
     }
 
+    /** Fused streaming parse+validate (Streaming.scala): verdict straight
+      * off the source text, materializing subtrees only where the schema
+      * forces trial evaluation. None ⇒ compile budget exceeded. Transient:
+      * recompiled lazily per executor. */
+    @transient private lazy val streamFast: Option[String => Boolean] =
+      Streaming.compile(registry, entry, assertFormats)
+
+    /** Validate a JSON document from text. Identical verdicts to
+      * `isValid(JsonValue.parse(text))` on documents that parse; on
+      * malformed documents either throws (like parse) or returns false
+      * (when a failing constraint short-circuits before the malformed
+      * region — the verdict a caller catching parse errors gets anyway). */
+    def isValidText(text: String): Boolean = streamFast match {
+      case Some(f) => f(text)
+      case None    => isValid(JsonValue.parse(text))
+    }
+
     /** Tree-walk verdict — the executable specification; the compiled path
       * is differentially tested against it (CompiledSpec). */
     def isValidInterp(v: JsonValue): Boolean = {

@@ -45,16 +45,17 @@ final case class JObj(fields: Vector[(String, JsonValue)]) extends JsonValue {
       None
     } else toMap.get(key)
   }
-  /** Allocation-free lookup for validator hot paths (no Some per hit). */
+  /** Allocation-free lookup for validator hot paths (no Some per hit).
+    * Always the FIRST occurrence under duplicate keys — the dispatch
+    * kernels (Compiled tag dispatch, Streaming) rely on one consistent
+    * rule regardless of object size. */
   def getOrNull(key: String): JsonValue = {
-    if (fields.length <= 8) {
-      var i = 0
-      while (i < fields.length) {
-        if (fields(i)._1 == key) return fields(i)._2
-        i += 1
-      }
-      null
-    } else toMap.getOrElse(key, null)
+    var i = 0
+    while (i < fields.length) {
+      if (fields(i)._1 == key) return fields(i)._2
+      i += 1
+    }
+    null
   }
   def has(key: String): Boolean = {
     if (fields.length <= 8) {
@@ -104,7 +105,7 @@ object JsonValue {
     * keys, which flow through this same pool when the schema is parsed.
     * Bounded so hostile key-churn data degrades to plain strings instead
     * of growing the pool. */
-  private object FieldIntern {
+  private[spec] object FieldIntern {
     private val pool = new java.util.concurrent.ConcurrentHashMap[String, String](1024)
     private final val Max = 1 << 14
     def intern(s: String): String = {
@@ -135,9 +136,15 @@ object JsonValue {
     }
   }
 
-  private final class Parser(s: String) {
+  /** `private[spec]` + seek/pos so the streaming validator (Streaming.scala)
+    * materializes subtrees through THIS parser — one grammar, one intern
+    * pool, identical trees on both paths. */
+  private[spec] final class Parser(s: String) {
     private[this] var i = 0
     private[this] val n = s.length
+
+    def seekTo(k: Int): Unit = { i = k }
+    def pos: Int = i
 
     private def err(msg: String): Nothing =
       throw new java.io.IOException(s"$msg at offset $i")
@@ -153,7 +160,7 @@ object JsonValue {
       parseValue()
     }
 
-    private def parseValue(): JsonValue = {
+    private[spec] def parseValue(): JsonValue = {
       ws()
       if (i >= n) err("unexpected end of input")
       (s.charAt(i): @annotation.switch) match {

@@ -1,0 +1,1053 @@
+package graft.spec
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+/** Fused streaming parse+validate — validates a JSON document straight off
+  * the source text, without materializing the value tree where the schema
+  * permits. The reference's headline "Recursive" benchmark is exactly this
+  * shape (parse + validate per document); its Rust walker pays a serde
+  * tree per document, and so does our `JsonValue.parse` + `Compiled` pair.
+  * This path removes the tree for the deterministic subset of the keyword
+  * grammar, which is also the GC-pressure story at table scale: the
+  * contentSchema kernel runs one validation per ROW.
+  *
+  * Semantics are anchored to `Compiled` (itself differentially tested
+  * against the tree-walk `Interp`): every node either
+  *
+  *  - STREAM-compILES: its same-value closure (the node plus everything
+  *    reachable over `$ref`/`allOf`/dispatched `anyOf`/`oneOf` edges)
+  *    contains only order-independent keywords, single-resource, so checks
+  *    fuse into one token-dispatched pass; or
+  *  - MATERIALIZES: the value at that position is tree-parsed (through
+  *    `JsonValue.Parser` — one grammar, one intern pool) and handed to the
+  *    node's compiled twin built by `Compiled.Sub` with the same
+  *    same-value cycle-cut chain, so verdicts are `Compiled`'s by
+  *    construction.
+  *
+  * Non-streamable constructs (whole-node materialization): `not`,
+  * `if`/`then`/`else`, `unevaluated*`, `dependent*`, `uniqueItems`,
+  * `contains`, `$dynamicRef`/`$recursiveRef`, trial-loop `anyOf`/`oneOf`
+  * (no type or tag dispatch), container `const`/`enum` members, >64
+  * required keys, any resource-crossing same-value edge.
+  *
+  * Failure semantics: a failing check aborts immediately, so malformedness
+  * AFTER the deciding token may go unseen (parse-then-validate would throw
+  * instead); on documents that parse, verdicts are identical. Skipped
+  * values are still grammar-checked (strict RFC 8259 skip), so a VALID
+  * verdict implies the whole document parses.
+  */
+object Streaming {
+
+  private object Unstreamable extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Compiled streaming validator for `entry`; None when the tree-side
+    * twin compiler exceeds its budget (caller falls back to parse+walk). */
+  def compile(registry: Registry, entry: Spec, assertFormats: Boolean): Option[String => Boolean] =
+    try {
+      val c = new SCompiler(registry, entry, assertFormats)
+      val root = c.rootRef()
+      Some { text =>
+        val cur = new Cur(text)
+        cur.ws()
+        if (cur.atEnd) throw new java.io.IOException("empty JSON input")
+        root.f(cur)
+      }
+    } catch { case t: RuntimeException if Compiled.isBail(t) => None }
+
+  // ==== runtime structures ==================================================
+
+  /** Forward cell for recursive structural edges. */
+  private final class SRef { var f: Cur => Boolean = null }
+
+  private final class FP(val reqBit: Int, val isProp: Boolean,
+                         val s: SRef, val d: JsonValue => Boolean)
+  private final class PatC(val re: Pattern, val s: SRef, val d: JsonValue => Boolean)
+  private final class OC(val fields: java.util.HashMap[String, FP], val patterns: Array[PatC],
+                         val apS: SRef, val apD: JsonValue => Boolean,
+                         val reqCount: Int, val minP: Long, val maxP: Long) {
+    val reqFull: Long = if (reqCount >= 64) -1L else (1L << reqCount) - 1
+  }
+  /** Tag-dispatched combinator over objects (mirrors Compiled constDispatch).
+    * branches(i) == null ⇒ that branch rejects all objects. */
+  private final class BranchObj(val cons: Array[OC], val pns: Array[String => Boolean])
+  private final class OD(val key: String,
+                         val strTable: java.util.HashMap[String, Integer],
+                         val renderTable: Map[String, Int],
+                         val branches: Array[BranchObj])
+  private final class AC(val prefixS: Array[SRef], val prefixD: Array[JsonValue => Boolean],
+                         val itemsS: SRef, val itemsD: JsonValue => Boolean,
+                         val minI: Long, val maxI: Long)
+
+  /** Per-node assembled shape: one entry per JSON type atom
+    * (null/bool/int/frac/str/arr/obj), mirroring Compiled's typeTag. */
+  private final class Shape(
+      val okNull: Boolean, val okTrue: Boolean, val okFalse: Boolean,
+      val okInt: Boolean, val okFrac: Boolean,
+      val numCI: Array[JNum => Boolean], val numCF: Array[JNum => Boolean],
+      val okStr: Boolean, val strC: Array[String => Boolean],
+      val okArr: Boolean, val acs: Array[AC],
+      val okObj: Boolean, val cons: Array[OC], val disp: Array[OD],
+      val pns: Array[String => Boolean]) {
+
+    def run(cur: Cur): Boolean = {
+      cur.ws()
+      (cur.peek: @annotation.switch) match {
+        case '"' =>
+          if (!okStr) false
+          else if (strC.length == 0) { cur.skipString(); true }
+          else {
+            val s = cur.readString()
+            var k = 0; var ok = true
+            while (ok && k < strC.length) { ok = strC(k)(s); k += 1 }
+            ok
+          }
+        case '{' =>
+          okObj && {
+            if (cons.length == 0 && disp.length == 0 && pns.length == 0) { cur.skipValue(); true }
+            else if (disp.length == 0) objPass(cur, cons, pns)
+            else objPassDispatch(cur, cons, disp, pns)
+          }
+        case '[' =>
+          okArr && {
+            if (acs.length == 0) { cur.skipValue(); true }
+            else arrPass(cur, acs)
+          }
+        case 't' => cur.word("true"); okTrue
+        case 'f' => cur.word("false"); okFalse
+        case 'n' => cur.word("null"); okNull
+        case _ =>
+          if (!okInt && !okFrac) false
+          else if (okInt && okFrac && numCI.length == 0 && numCF.length == 0) {
+            cur.scanNumber(); true
+          } else {
+            val jn = cur.readNumber()
+            val cs = if (jn.isIntegral) { if (!okInt) return false; numCI }
+                     else { if (!okFrac) return false; numCF }
+            var k = 0; var ok = true
+            while (ok && k < cs.length) { ok = cs(k)(jn); k += 1 }
+            ok
+          }
+      }
+    }
+  }
+
+  // ---- object pass (no tag dispatch) ---------------------------------------
+
+  private def objPass(cur: Cur, cons: Array[OC], pns: Array[String => Boolean]): Boolean = {
+    cur.bump() // '{'
+    cur.ws()
+    var masks: Array[Long] = null
+    var mi = 0
+    while (masks == null && mi < cons.length) {
+      if (cons(mi).reqCount > 0) masks = new Array[Long](cons.length)
+      mi += 1
+    }
+    var count = 0
+    if (cur.peek == '}') cur.bump()
+    else {
+      var done = false
+      while (!done) {
+        cur.ws()
+        val key = cur.readFieldName()
+        cur.ws(); cur.expect(':')
+        var pi = 0
+        while (pi < pns.length) { if (!pns(pi)(key)) return false; pi += 1 }
+        // gather: count applicable checks; if exactly one, stream it
+        var nChecks = 0
+        var theS: SRef = null
+        var ci = 0
+        while (ci < cons.length) {
+          val oc = cons(ci)
+          val fp = oc.fields.get(key)
+          var covered = false
+          if (fp != null) {
+            if (fp.reqBit >= 0) masks(ci) |= 1L << fp.reqBit
+            if (fp.isProp) {
+              covered = true
+              if (fp.s != null) { nChecks += 1; theS = fp.s }
+            }
+          }
+          var pj = 0
+          while (pj < oc.patterns.length) {
+            val p = oc.patterns(pj)
+            if (p.re.matcher(key).find()) { covered = true; nChecks += 1; theS = p.s }
+            pj += 1
+          }
+          if (!covered && oc.apS != null) { nChecks += 1; theS = oc.apS }
+          ci += 1
+        }
+        if (nChecks == 0) cur.skipValue()
+        else if (nChecks == 1) { if (!theS.f(cur)) return false }
+        else {
+          val v = cur.readTree()
+          ci = 0
+          while (ci < cons.length) {
+            if (!applyTree(cons(ci), key, v)) return false
+            ci += 1
+          }
+        }
+        count += 1
+        cur.ws()
+        (cur.readCh(): @annotation.switch) match {
+          case ',' => ()
+          case '}' => done = true
+          case _   => cur.err("expected ',' or '}'")
+        }
+      }
+    }
+    endObj(cons, masks, count)
+  }
+
+  /** Apply a consumer's tree-side checks to one field (materialized path).
+    * Required bits are handled by the caller. */
+  private def applyTree(oc: OC, key: String, v: JsonValue): Boolean = {
+    val fp = oc.fields.get(key)
+    var covered = false
+    if (fp != null && fp.isProp) {
+      covered = true
+      if (fp.d != null && !fp.d(v)) return false
+    }
+    var pj = 0
+    while (pj < oc.patterns.length) {
+      val p = oc.patterns(pj)
+      if (p.re.matcher(key).find()) { covered = true; if (!p.d(v)) return false }
+      pj += 1
+    }
+    if (!covered && oc.apD != null && !oc.apD(v)) return false
+    true
+  }
+
+  private def endObj(cons: Array[OC], masks: Array[Long], count: Int): Boolean = {
+    var ci = 0
+    while (ci < cons.length) {
+      val oc = cons(ci)
+      if (oc.reqCount > 0 && masks(ci) != oc.reqFull) return false
+      if (oc.minP >= 0 && count < oc.minP) return false
+      if (oc.maxP >= 0 && count > oc.maxP) return false
+      ci += 1
+    }
+    true
+  }
+
+  // ---- object pass with pending tag dispatch -------------------------------
+
+  private def objPassDispatch(cur: Cur, cons0: Array[OC], disp0: Array[OD],
+                              pns0: Array[String => Boolean]): Boolean = {
+    cur.bump() // '{'
+    cur.ws()
+    val cons = new ArrayBuffer[OC](cons0.length + 4)
+    var ci0 = 0
+    while (ci0 < cons0.length) { cons += cons0(ci0); ci0 += 1 }
+    val masks = ArrayBuffer.fill[Long](cons.length)(0L)
+    val pns = ArrayBuffer[String => Boolean](pns0.toSeq: _*)
+    val pending = ArrayBuffer[OD](disp0.toSeq: _*)
+    var undecided = pending.length
+    var buffer = new ArrayBuffer[(String, JsonValue)](8)
+
+    def feedTree(from: Int, key: String, v: JsonValue): Boolean = {
+      var ci = from
+      while (ci < cons.length) {
+        val oc = cons(ci)
+        val fp = oc.fields.get(key)
+        if (fp != null && fp.reqBit >= 0) masks(ci) |= 1L << fp.reqBit
+        if (!applyTree(oc, key, v)) return false
+        ci += 1
+      }
+      true
+    }
+    // the tag field decides: select the branch, activate its consumers,
+    // replay everything buffered so far (which includes the tag field)
+    def tryDecide(key: String, v: JsonValue): Boolean = {
+      var di = 0
+      while (di < pending.length) {
+        val dp = pending(di)
+        if (dp != null && dp.key == key) {
+          val idx: Int = v match {
+            case JStr(s0) =>
+              val hit = dp.strTable.get(s0)
+              if (hit != null) hit.intValue
+              else dp.renderTable.getOrElse(JsonValue.render(v), -1)
+            case _ => dp.renderTable.getOrElse(JsonValue.render(v), -1)
+          }
+          if (idx < 0) return false
+          val br = dp.branches(idx)
+          if (br == null) return false
+          pending(di) = null
+          undecided -= 1
+          val base = cons.length
+          var bi = 0
+          while (bi < br.cons.length) { cons += br.cons(bi); masks += 0L; bi += 1 }
+          var pi = 0
+          while (pi < br.pns.length) {
+            val pn = br.pns(pi)
+            var k = 0
+            while (k < buffer.length) { if (!pn(buffer(k)._1)) return false; k += 1 }
+            pns += pn
+            pi += 1
+          }
+          var k = 0
+          while (k < buffer.length) {
+            val (bk, bv) = buffer(k)
+            if (!feedTree(base, bk, bv)) return false
+            k += 1
+          }
+        }
+        di += 1
+      }
+      true
+    }
+
+    var count = 0
+    if (cur.peek == '}') cur.bump()
+    else {
+      var done = false
+      while (!done) {
+        cur.ws()
+        val key = cur.readFieldName()
+        cur.ws(); cur.expect(':')
+        var pi = 0
+        while (pi < pns.length) { if (!pns(pi)(key)) return false; pi += 1 }
+        if (undecided > 0) {
+          // branch membership unknown: materialize and buffer everything
+          val v = cur.readTree()
+          buffer += ((key, v))
+          if (!feedTree(0, key, v)) return false
+          if (!tryDecide(key, v)) return false
+          if (undecided == 0) buffer = null // decided: stream from here on
+        } else {
+          var nChecks = 0
+          var theS: SRef = null
+          var ci = 0
+          while (ci < cons.length) {
+            val oc = cons(ci)
+            val fp = oc.fields.get(key)
+            var covered = false
+            if (fp != null) {
+              if (fp.reqBit >= 0) masks(ci) |= 1L << fp.reqBit
+              if (fp.isProp) {
+                covered = true
+                if (fp.s != null) { nChecks += 1; theS = fp.s }
+              }
+            }
+            var pj = 0
+            while (pj < oc.patterns.length) {
+              val p = oc.patterns(pj)
+              if (p.re.matcher(key).find()) { covered = true; nChecks += 1; theS = p.s }
+              pj += 1
+            }
+            if (!covered && oc.apS != null) { nChecks += 1; theS = oc.apS }
+            ci += 1
+          }
+          if (nChecks == 0) cur.skipValue()
+          else if (nChecks == 1) { if (!theS.f(cur)) return false }
+          else {
+            val v = cur.readTree()
+            ci = 0
+            while (ci < cons.length) {
+              if (!applyTree(cons(ci), key, v)) return false
+              ci += 1
+            }
+          }
+        }
+        count += 1
+        cur.ws()
+        (cur.readCh(): @annotation.switch) match {
+          case ',' => ()
+          case '}' => done = true
+          case _   => cur.err("expected ',' or '}'")
+        }
+      }
+    }
+    if (undecided > 0) return false // dispatch key absent ⇒ no branch selected
+    var ci = 0
+    while (ci < cons.length) {
+      val oc = cons(ci)
+      if (oc.reqCount > 0 && masks(ci) != oc.reqFull) return false
+      if (oc.minP >= 0 && count < oc.minP) return false
+      if (oc.maxP >= 0 && count > oc.maxP) return false
+      ci += 1
+    }
+    true
+  }
+
+  // ---- array pass -----------------------------------------------------------
+
+  private def arrPass(cur: Cur, acs: Array[AC]): Boolean = {
+    cur.bump() // '['
+    cur.ws()
+    var count = 0
+    if (cur.peek == ']') cur.bump()
+    else {
+      var done = false
+      while (!done) {
+        var nChecks = 0
+        var theS: SRef = null
+        var ai = 0
+        while (ai < acs.length) {
+          val ac = acs(ai)
+          val s = if (count < ac.prefixS.length) ac.prefixS(count) else ac.itemsS
+          if (s != null) { nChecks += 1; theS = s }
+          ai += 1
+        }
+        if (nChecks == 0) cur.skipValue()
+        else if (nChecks == 1) { if (!theS.f(cur)) return false }
+        else {
+          val v = cur.readTree()
+          ai = 0
+          while (ai < acs.length) {
+            val ac = acs(ai)
+            val d = if (count < ac.prefixD.length) ac.prefixD(count) else ac.itemsD
+            if (d != null && !d(v)) return false
+            ai += 1
+          }
+        }
+        count += 1
+        cur.ws()
+        (cur.readCh(): @annotation.switch) match {
+          case ',' => ()
+          case ']' => done = true
+          case _   => cur.err("expected ',' or ']'")
+        }
+      }
+    }
+    var ai = 0
+    while (ai < acs.length) {
+      val ac = acs(ai)
+      if (ac.minI >= 0 && count < ac.minI) return false
+      if (ac.maxI >= 0 && count > ac.maxI) return false
+      ai += 1
+    }
+    true
+  }
+
+  // ==== compiler =============================================================
+
+  private final class SCompiler(registry: Registry, entry: Spec, assertFormats: Boolean) {
+    private val sub = new Compiled.Sub(registry, assertFormats)
+    private val entryRes = entry match {
+      case o: Spec.Obj => registry.resourceOf(o)
+      case _           => registry.rootResource
+    }
+    private val scope0 = List(entryRes)
+    private val memoS = new java.util.IdentityHashMap[Spec.Obj, SRef]()
+    private var budget = 20000
+
+    private val skipTrueRef: SRef = { val r = new SRef; r.f = c => { c.skipValue(); true }; r }
+    private val falseRef: SRef = { val r = new SRef; r.f = _ => false; r }
+
+    def rootRef(): SRef = entry match {
+      case Spec.Accept => skipTrueRef
+      case Spec.Reject => falseRef
+      case o: Spec.Obj => descendS(o)
+    }
+
+    /** Tree-side twin of `s` in same-value chain `sp`, scope folded in. */
+    private def twinSame(s: Spec, sp: List[Spec.Obj]): JsonValue => Boolean = {
+      val d = sub.sameAt(s, sp)
+      wrapScope(s, d)
+    }
+    private def twinEntry(s: Spec): JsonValue => Boolean = {
+      val d = sub.entryAt(s)
+      wrapScope(s, d)
+    }
+    private def wrapScope(s: Spec,
+                          d: (JsonValue, List[Registry.Resource]) => Boolean): JsonValue => Boolean =
+      s match {
+        case o: Spec.Obj =>
+          val r = registry.resourceOf(o)
+          if (r eq entryRes) v => d(v, scope0)
+          else { val sc = scope0 :+ r; v => d(v, sc) }
+        case _ => v => d(v, scope0)
+      }
+
+    /** Structural child: (streaming ref, tree-side twin). Cross-resource
+      * children materialize (the compiled twin threads the scope). */
+    private def childS(s: Spec): (SRef, JsonValue => Boolean) = s match {
+      case Spec.Accept => (skipTrueRef, _ => true)
+      case Spec.Reject => (falseRef, _ => false)
+      case o: Spec.Obj =>
+        val d = twinEntry(o)
+        if (registry.resourceOf(o) eq entryRes) (descendS(o), d)
+        else { val r = new SRef; r.f = c => d(c.readTree()); (r, d) }
+    }
+
+    /** Structural node entry: stream-compile, or materialize the whole
+      * node through its compiled twin. */
+    private def descendS(o: Spec.Obj): SRef = {
+      val hit = memoS.get(o)
+      if (hit != null) return hit
+      val ref = new SRef
+      memoS.put(o, ref)
+      ref.f =
+        try {
+          val acc = new Acc
+          addNode(o, acc, o :: Nil)
+          assemble(acc)
+        } catch {
+          case Unstreamable =>
+            val d = twinEntry(o)
+            c => d(c.readTree())
+        }
+      ref
+    }
+
+    // ---- accumulated per-atom checks for one same-value closure ----------
+    private final class Acc {
+      var okNull = true; var okTrue = true; var okFalse = true
+      var okInt = true; var okFrac = true; var okStr = true
+      var okArr = true; var okObj = true
+      val numCI = ArrayBuffer[JNum => Boolean]()
+      val numCF = ArrayBuffer[JNum => Boolean]()
+      val strC = ArrayBuffer[String => Boolean]()
+      val acs = ArrayBuffer[AC]()
+      val cons = ArrayBuffer[OC]()
+      val disp = ArrayBuffer[OD]()
+      val pns = ArrayBuffer[String => Boolean]()
+      def reject(): Unit = {
+        okNull = false; okTrue = false; okFalse = false
+        okInt = false; okFrac = false; okStr = false; okArr = false; okObj = false
+      }
+    }
+
+    private def assemble(acc: Acc): Cur => Boolean = {
+      val shape = new Shape(
+        acc.okNull, acc.okTrue, acc.okFalse,
+        acc.okInt, acc.okFrac, acc.numCI.toArray, acc.numCF.toArray,
+        acc.okStr, acc.strC.toArray,
+        acc.okArr, acc.acs.toArray,
+        acc.okObj, acc.cons.toArray, acc.disp.toArray, acc.pns.toArray)
+      c => shape.run(c)
+    }
+
+    /** Merge node `o`'s same-value closure into `acc`. Mirrors
+      * Compiled.Builder.build's check-set keyword by keyword; throws
+      * Unstreamable on any order-dependent construct. */
+    private def addNode(o: Spec.Obj, acc: Acc, sp: List[Spec.Obj]): Unit = {
+      budget -= 1
+      if (budget < 0) throw Unstreamable
+      if (o.not.nonEmpty || o.ifSpec.nonEmpty ||
+          o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
+          o.dependentRequired.nonEmpty || o.dependentSchemas.nonEmpty ||
+          o.uniqueItems || o.contains.nonEmpty ||
+          o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty)
+        throw Unstreamable
+      val oRes = registry.resourceOf(o)
+      if (oRes ne entryRes) throw Unstreamable
+
+      // ---- same-value edges: $ref and allOf merge in place ----------------
+      def mergeSame(target: Spec): Unit = target match {
+        case Spec.Accept => ()
+        case Spec.Reject => acc.reject()
+        case t: Spec.Obj =>
+          if (registry.resourceOf(t) ne entryRes) throw Unstreamable
+          if (!sp.exists(_ eq t)) addNode(t, acc, t :: sp)
+      }
+      o.ref.foreach { r =>
+        registry.resolve(r, oRes) match {
+          case Some((target, _)) => mergeSame(target)
+          case None => throw new SpecError(s"unresolvable $$ref: $r")
+        }
+      }
+      o.allOf.foreach(mergeSame)
+
+      // ---- scalar keywords --------------------------------------------------
+      o.types.foreach { ts =>
+        val hasNum = ts.contains(JsonType.Number)
+        if (!ts.contains(JsonType.Null)) acc.okNull = false
+        if (!ts.contains(JsonType.Boolean)) { acc.okTrue = false; acc.okFalse = false }
+        if (!ts.contains(JsonType.Integer) && !hasNum) acc.okInt = false
+        if (!hasNum) acc.okFrac = false
+        if (!ts.contains(JsonType.String)) acc.okStr = false
+        if (!ts.contains(JsonType.Array)) acc.okArr = false
+        if (!ts.contains(JsonType.Object)) acc.okObj = false
+      }
+      o.const.foreach {
+        case JStr(s) =>
+          acc.okNull = false; acc.okTrue = false; acc.okFalse = false
+          acc.okInt = false; acc.okFrac = false; acc.okArr = false; acc.okObj = false
+          acc.strC += (x => x == s)
+        case n: JNum =>
+          acc.okNull = false; acc.okTrue = false; acc.okFalse = false
+          acc.okStr = false; acc.okArr = false; acc.okObj = false
+          val check = (jn: JNum) => jn.value.compareTo(n.value) == 0
+          acc.numCI += check; acc.numCF += check
+        case JBool(b) =>
+          acc.okNull = false; acc.okInt = false; acc.okFrac = false
+          acc.okStr = false; acc.okArr = false; acc.okObj = false
+          if (b) acc.okFalse = false else acc.okTrue = false
+        case JNull =>
+          acc.okTrue = false; acc.okFalse = false; acc.okInt = false
+          acc.okFrac = false; acc.okStr = false; acc.okArr = false; acc.okObj = false
+        case _ => throw Unstreamable // container const: needs the tree
+      }
+      o.enumVals.foreach { es =>
+        if (es.exists(e => e.isInstanceOf[JArr] || e.isInstanceOf[JObj])) throw Unstreamable
+        if (!es.contains(JNull)) acc.okNull = false
+        if (!es.exists { case JBool(true) => true; case _ => false }) acc.okTrue = false
+        if (!es.exists { case JBool(false) => true; case _ => false }) acc.okFalse = false
+        acc.okArr = false; acc.okObj = false
+        val nums = es.collect { case n: JNum => n.value }
+        if (nums.isEmpty) { acc.okInt = false; acc.okFrac = false }
+        else {
+          val check = (jn: JNum) => nums.exists(_.compareTo(jn.value) == 0)
+          acc.numCI += check; acc.numCF += check
+        }
+        val strs = es.collect { case JStr(s) => s }
+        if (strs.isEmpty) acc.okStr = false
+        else { val set = strs.toSet; acc.strC += (s => set.contains(s)) }
+      }
+      if (o.minimum.nonEmpty || o.maximum.nonEmpty || o.exclusiveMinimum.nonEmpty ||
+          o.exclusiveMaximum.nonEmpty || o.multipleOf.nonEmpty) {
+        val mi = o.minimum; val ma = o.maximum
+        val emi = o.exclusiveMinimum; val ema = o.exclusiveMaximum
+        val mo = o.multipleOf
+        val zero = BigDecimal(0)
+        val check = (jn: JNum) => {
+          val n = jn.value
+          mi.forall(n >= _) && ma.forall(n <= _) &&
+          emi.forall(n > _) && ema.forall(n < _) &&
+          mo.forall(m => (n remainder m).compareTo(zero) == 0)
+        }
+        acc.numCI += check; acc.numCF += check
+      }
+      val fmtPred: Option[String => Boolean] =
+        if (assertFormats) o.format.flatMap(graft.compile.Formats.scalaPredicate)
+        else None
+      if (o.minLength.nonEmpty || o.maxLength.nonEmpty || o.pattern.nonEmpty ||
+          fmtPred.nonEmpty) {
+        val minL = o.minLength; val maxL = o.maxLength
+        val pat: Option[Pattern] = o.pattern.map(p => Pattern.compile(EcmaRegex.translate(p)))
+        acc.strC += { s =>
+          (minL.isEmpty && maxL.isEmpty || {
+            val n = s.codePointCount(0, s.length)
+            minL.forall(n >= _) && maxL.forall(n <= _)
+          }) && pat.forall(_.matcher(s).find()) && fmtPred.forall(_(s))
+        }
+      }
+
+      // ---- object keywords --------------------------------------------------
+      if (o.properties.nonEmpty || o.required.nonEmpty ||
+          o.additionalProperties.nonEmpty || o.patternProperties.nonEmpty ||
+          o.minProperties.nonEmpty || o.maxProperties.nonEmpty) {
+        val reqKeys = o.required.distinct
+        if (reqKeys.length > 64) throw Unstreamable
+        val reqIdx = reqKeys.zipWithIndex.toMap
+        val fields = new java.util.HashMap[String, FP]((o.properties.length + reqKeys.length) * 2)
+        o.properties.foreach { case (k, subSpec) =>
+          val (s, d) = childS(subSpec)
+          fields.put(JsonValue.FieldIntern.intern(k),
+            new FP(reqIdx.getOrElse(k, -1), true, s, d))
+        }
+        reqKeys.foreach { k =>
+          if (!fields.containsKey(k))
+            fields.put(JsonValue.FieldIntern.intern(k), new FP(reqIdx(k), false, null, null))
+        }
+        val pats = o.patternProperties.map { case (p, subSpec) =>
+          val (s, d) = childS(subSpec)
+          new PatC(Pattern.compile(EcmaRegex.translate(p)), s, d)
+        }.toArray
+        val (apS, apD) = o.additionalProperties match {
+          case Some(ap) => childS(ap)
+          case None     => (null: SRef, null: JsonValue => Boolean)
+        }
+        acc.cons += new OC(fields, pats, apS, apD, reqKeys.length,
+          o.minProperties.getOrElse(-1L), o.maxProperties.getOrElse(-1L))
+      }
+      o.propertyNames.foreach {
+        case Spec.Accept => ()
+        case Spec.Reject => acc.pns += (_ => false)
+        case pn: Spec.Obj =>
+          val d = twinEntry(pn)
+          acc.pns += (k => d(JStr(k)))
+      }
+
+      // ---- array keywords ---------------------------------------------------
+      if (o.items.nonEmpty || o.prefixItems.nonEmpty ||
+          o.minItems.nonEmpty || o.maxItems.nonEmpty) {
+        val pre = o.prefixItems.map(childS)
+        val (itS, itD) = o.items match {
+          case Some(it) => childS(it)
+          case None     => (null: SRef, null: JsonValue => Boolean)
+        }
+        acc.acs += new AC(pre.map(_._1).toArray, pre.map(_._2).toArray, itS, itD,
+          o.minItems.getOrElse(-1L), o.maxItems.getOrElse(-1L))
+      }
+
+      // ---- combinators: dispatch or bust -------------------------------------
+      if (o.anyOf.nonEmpty) mergeCombinator(o.anyOf, exact = false, acc, sp)
+      if (o.oneOf.nonEmpty) mergeCombinator(o.oneOf, exact = true, acc, sp)
+    }
+
+    /** Branch-index-per-type-atom table — the mirror of Compiled's
+      * typeDispatch (pairwise type-disjoint branches collapse the trial
+      * loop to one dispatch). */
+    private def tryTypeDispatch(branches: Vector[Spec]): Option[Array[Int]] = {
+      val table = Array.fill(7)(-1)
+      var ok = true
+      branches.zipWithIndex.foreach { case (b, i) =>
+        b match {
+          case bo: Spec.Obj if bo.types.nonEmpty =>
+            bo.types.get.foreach { t =>
+              val atoms = t match {
+                case JsonType.Null => Seq(0); case JsonType.Boolean => Seq(1)
+                case JsonType.Integer => Seq(2); case JsonType.Number => Seq(2, 3)
+                case JsonType.String => Seq(4); case JsonType.Array => Seq(5)
+                case JsonType.Object => Seq(6)
+              }
+              atoms.foreach { a => if (table(a) != -1) ok = false else table(a) = i }
+            }
+          case _ => ok = false
+        }
+      }
+      if (ok) Some(table) else None
+    }
+
+    /** (key, rendered-const → branch) — the mirror of Compiled's
+      * constDispatch. */
+    private def tryConstDispatch(branches: Vector[Spec]): Option[(String, Map[String, Int])] = {
+      val perBranch: Vector[Map[String, Vector[JsonValue]]] = branches.map {
+        case bo: Spec.Obj =>
+          val m = bo.properties.collect {
+            case (k, ps: Spec.Obj) if bo.required.contains(k) &&
+                (ps.const.nonEmpty || ps.enumVals.nonEmpty) =>
+              k -> ps.const.map(Vector(_)).getOrElse(ps.enumVals.get)
+          }.toMap
+          if (m.isEmpty) return None
+          m
+        case _ => return None
+      }
+      val shared = perBranch.map(_.keySet).reduce(_ intersect _)
+      shared.iterator.flatMap { key =>
+        val entries = perBranch.zipWithIndex.flatMap { case (m, i) =>
+          m(key).map(c => JsonValue.render(c) -> i)
+        }
+        val table = entries.toMap
+        if (table.size == entries.length) Some((key, table)) else None
+      }.nextOption()
+    }
+
+    private def mergeCombinator(branches: Vector[Spec], exact: Boolean,
+                                acc: Acc, sp: List[Spec.Obj]): Unit = {
+      tryTypeDispatch(branches) match {
+        case Some(table) =>
+          val branchAccs = new Array[Acc](branches.length)
+          def accOf(i: Int): Acc = {
+            if (branchAccs(i) == null) {
+              val ba = new Acc
+              branches(i) match {
+                case bo: Spec.Obj =>
+                  // cycle back to an enclosing node: contributes TRUE
+                  if (!sp.exists(_ eq bo)) addNode(bo, ba, bo :: sp)
+                case _ => ()
+              }
+              branchAccs(i) = ba
+            }
+            branchAccs(i)
+          }
+          (0 to 6).foreach { a =>
+            val bi = table(a)
+            if (bi < 0) a match {
+              case 0 => acc.okNull = false
+              case 1 => acc.okTrue = false; acc.okFalse = false
+              case 2 => acc.okInt = false
+              case 3 => acc.okFrac = false
+              case 4 => acc.okStr = false
+              case 5 => acc.okArr = false
+              case 6 => acc.okObj = false
+            } else {
+              val b = accOf(bi)
+              a match {
+                case 0 => acc.okNull &&= b.okNull
+                case 1 => acc.okTrue &&= b.okTrue; acc.okFalse &&= b.okFalse
+                case 2 => acc.okInt &&= b.okInt; acc.numCI ++= b.numCI
+                case 3 => acc.okFrac &&= b.okFrac; acc.numCF ++= b.numCF
+                case 4 => acc.okStr &&= b.okStr; acc.strC ++= b.strC
+                case 5 => acc.okArr &&= b.okArr; acc.acs ++= b.acs
+                case 6 =>
+                  acc.okObj &&= b.okObj
+                  acc.cons ++= b.cons; acc.disp ++= b.disp; acc.pns ++= b.pns
+              }
+            }
+          }
+        case None =>
+          tryConstDispatch(branches) match {
+            case Some((key, renderTable)) =>
+              // arrays can't dispatch and can't precompute: require the
+              // node to already exclude them (tag unions declare object)
+              if (acc.okArr) throw Unstreamable
+              val branchObjs: Array[BranchObj] = branches.map {
+                case bo: Spec.Obj =>
+                  if (sp.exists(_ eq bo)) new BranchObj(Array.empty, Array.empty)
+                  else {
+                    val ba = new Acc
+                    addNode(bo, ba, bo :: sp)
+                    if (ba.disp.nonEmpty) throw Unstreamable // no nested tag dispatch
+                    if (!ba.okObj) null
+                    else new BranchObj(ba.cons.toArray, ba.pns.toArray)
+                  }
+                case _ => throw Unstreamable
+              }.toArray
+              val strTable = new java.util.HashMap[String, Integer]()
+              renderTable.foreach { case (r, i) =>
+                if (r.length >= 2 && r.charAt(0) == '"' && !r.contains('\\'))
+                  strTable.put(r.substring(1, r.length - 1), Integer.valueOf(i))
+              }
+              acc.disp += new OD(JsonValue.FieldIntern.intern(key), strTable,
+                renderTable, branchObjs)
+              // non-object values run the compiled trial loop; null/bool
+              // verdicts are constants (pure check sets), so fold them in
+              val trialDs = branches.map(b => twinSame(b, sp)).toArray
+              def trial(v: JsonValue): Boolean = {
+                var n = 0; var i = 0
+                while (n < 2 && i < trialDs.length) { if (trialDs(i)(v)) n += 1; i += 1 }
+                if (exact) n == 1 else n >= 1
+              }
+              acc.okNull &&= trial(JNull)
+              acc.okTrue &&= trial(JBool(true))
+              acc.okFalse &&= trial(JBool(false))
+              val numTrial = (jn: JNum) => trial(jn)
+              acc.numCI += numTrial; acc.numCF += numTrial
+              acc.strC += (s => trial(JStr(s)))
+            case None => throw Unstreamable
+          }
+      }
+    }
+  }
+
+  // ==== cursor ================================================================
+
+  /** Strict RFC 8259 lexical cursor over the source text. Shares the
+    * grammar (and, for materialized subtrees, the actual parser + field
+    * intern pool) with JsonValue.parse. */
+  private[spec] final class Cur(val s: String) {
+    var i = 0
+    private[this] val n = s.length
+
+    def atEnd: Boolean = i >= n
+    def bump(): Unit = i += 1
+
+    def err(msg: String): Nothing =
+      throw new java.io.IOException(s"$msg at offset $i")
+
+    def ws(): Unit = {
+      while (i < n && { val c = s.charAt(i); c == ' ' || c == '\t' || c == '\n' || c == '\r' })
+        i += 1
+    }
+
+    /** Current char after ws(); errs at end of input. */
+    def peek: Char = {
+      if (i >= n) err("unexpected end of input")
+      s.charAt(i)
+    }
+
+    def readCh(): Char = {
+      if (i >= n) err("unexpected end of input")
+      val c = s.charAt(i); i += 1; c
+    }
+
+    def expect(c: Char): Unit = {
+      if (i >= n || s.charAt(i) != c) err(s"expected '$c'")
+      i += 1
+    }
+
+    def word(w: String): Unit = {
+      if (i + w.length > n || !s.regionMatches(i, w, 0, w.length)) err(s"expected '$w'")
+      i += w.length
+    }
+
+    /** Materialize one value through the shared tree parser. */
+    def readTree(): JsonValue = {
+      val p = new JsonValue.Parser(s)
+      p.seekTo(i)
+      val v = p.parseValue()
+      i = p.pos
+      v
+    }
+
+    def readFieldName(): String = {
+      if (i >= n || s.charAt(i) != '"') err("expected field name")
+      i += 1
+      val start = i
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') {
+          val out = JsonValue.FieldIntern.internRange(s, start, i); i += 1; return out
+        }
+        if (c == '\\') return JsonValue.FieldIntern.intern(readStringSlow(start))
+        if (c < ' ') err("unescaped control character in string")
+        i += 1
+      }
+      err("unterminated string")
+    }
+
+    def readString(): String = {
+      i += 1 // opening '"' (caller peeked)
+      val start = i
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { val out = s.substring(start, i); i += 1; return out }
+        if (c == '\\') return readStringSlow(start)
+        if (c < ' ') err("unescaped control character in string")
+        i += 1
+      }
+      err("unterminated string")
+    }
+
+    private def readStringSlow(start: Int): String = {
+      val sb = new java.lang.StringBuilder(i - start + 16)
+      sb.append(s, start, i)
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { i += 1; return sb.toString }
+        else if (c == '\\') {
+          i += 1
+          if (i >= n) err("unterminated escape")
+          (s.charAt(i): @annotation.switch) match {
+            case '"'  => sb.append('"');  i += 1
+            case '\\' => sb.append('\\'); i += 1
+            case '/'  => sb.append('/');  i += 1
+            case 'b'  => sb.append('\b'); i += 1
+            case 'f'  => sb.append('\f'); i += 1
+            case 'n'  => sb.append('\n'); i += 1
+            case 'r'  => sb.append('\r'); i += 1
+            case 't'  => sb.append('\t'); i += 1
+            case 'u'  =>
+              if (i + 5 > n) err("truncated \\u escape")
+              var cp = 0
+              var j = i + 1
+              while (j < i + 5) {
+                val h = Character.digit(s.charAt(j), 16)
+                if (h < 0) err("bad hex in \\u escape")
+                cp = (cp << 4) | h
+                j += 1
+              }
+              sb.append(cp.toChar)
+              i += 5
+            case _ => err("bad escape")
+          }
+        }
+        else if (c < ' ') err("unescaped control character in string")
+        else { sb.append(c); i += 1 }
+      }
+      err("unterminated string")
+    }
+
+    /** Skip a string (opening quote at cursor), validating escapes. */
+    def skipString(): Unit = {
+      i += 1
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { i += 1; return }
+        else if (c == '\\') {
+          i += 1
+          if (i >= n) err("unterminated escape")
+          (s.charAt(i): @annotation.switch) match {
+            case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 1
+            case 'u' =>
+              if (i + 5 > n) err("truncated \\u escape")
+              var j = i + 1
+              while (j < i + 5) {
+                if (Character.digit(s.charAt(j), 16) < 0) err("bad hex in \\u escape")
+                j += 1
+              }
+              i += 5
+            case _ => err("bad escape")
+          }
+        }
+        else if (c < ' ') err("unescaped control character in string")
+        else i += 1
+      }
+      err("unterminated string")
+    }
+
+    private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+    private def skipDigits(): Unit = { while (i < n && isDigit(s.charAt(i))) i += 1 }
+
+    /** Scan a number token (strict grammar), leaving cursor after it.
+      * Returns true when the token has no '.'/'e' part (surely integral —
+      * the converse is NOT surely fractional: 1.0 and 1e2 are integral). */
+    def scanNumber(): Boolean = {
+      if (i < n && s.charAt(i) == '-') i += 1
+      if (i >= n) err("malformed number")
+      val c0 = s.charAt(i)
+      if (c0 == '0') i += 1
+      else if (c0 >= '1' && c0 <= '9') { i += 1; skipDigits() }
+      else err("malformed number")
+      var intOnly = true
+      if (i < n && s.charAt(i) == '.') {
+        intOnly = false
+        i += 1
+        if (i >= n || !isDigit(s.charAt(i))) err("malformed number")
+        skipDigits()
+      }
+      if (i < n && { val c = s.charAt(i); c == 'e' || c == 'E' }) {
+        intOnly = false
+        i += 1
+        if (i < n && { val c = s.charAt(i); c == '+' || c == '-' }) i += 1
+        if (i >= n || !isDigit(s.charAt(i))) err("malformed number")
+        skipDigits()
+      }
+      intOnly
+    }
+
+    /** Parse a number token into JNum (same construction as
+      * JsonValue.Parser.parseNumber: long fast path ≤18 int digits). */
+    def readNumber(): JNum = {
+      val start = i
+      val intOnly = scanNumber()
+      val len = i - start
+      if (intOnly && len <= 18) {
+        var v = 0L
+        var j = if (s.charAt(start) == '-') start + 1 else start
+        while (j < i) { v = v * 10 + (s.charAt(j) - '0'); j += 1 }
+        JNum(BigDecimal(if (s.charAt(start) == '-') -v else v))
+      } else JNum(BigDecimal(new java.math.BigDecimal(s.substring(start, i))))
+    }
+
+    /** Skip one value, grammar-checked (a VALID verdict must imply the
+      * document parses — see class doc). */
+    def skipValue(): Unit = {
+      ws()
+      (peek: @annotation.switch) match {
+        case '"' => skipString()
+        case '{' =>
+          i += 1; ws()
+          if (peek == '}') { i += 1; return }
+          var done = false
+          while (!done) {
+            ws()
+            if (peek != '"') err("expected field name")
+            skipString()
+            ws(); expect(':')
+            skipValue()
+            ws()
+            (readCh(): @annotation.switch) match {
+              case ',' => ()
+              case '}' => done = true
+              case _   => err("expected ',' or '}'")
+            }
+          }
+        case '[' =>
+          i += 1; ws()
+          if (peek == ']') { i += 1; return }
+          var done = false
+          while (!done) {
+            skipValue()
+            ws()
+            (readCh(): @annotation.switch) match {
+              case ',' => ()
+              case ']' => done = true
+              case _   => err("expected ',' or ']'")
+            }
+          }
+        case 't' => word("true")
+        case 'f' => word("false")
+        case 'n' => word("null")
+        case _   => { scanNumber(); () }
+      }
+    }
+  }
+}

@@ -15,8 +15,10 @@ object RecursivePerfProbe {
     val prepared = Interp.prepare(Spec.parseJson(schema))
     val parsed = JsonValue.parse(instance)
     require(prepared.isValid(parsed))
+    require(prepared.isValidText(instance))
     // warmup
     (1 to 3000).foreach { _ => prepared.isValid(JsonValue.parse(instance)) }
+    (1 to 3000).foreach { _ => prepared.isValidText(instance) }
     // interleaved rounds, best-of per label: the shared microVM has
     // CPU-steal windows, so a single timed block per label confounds the
     // engine's speed with whatever the host was doing in that second
@@ -34,6 +36,7 @@ object RecursivePerfProbe {
       time("parse-only")      { var i = 0; while (i < n) { JsonValue.parse(instance); i += 1 } }
       time("validate-only")   { var i = 0; while (i < n) { prepared.isValid(parsed); i += 1 } }
       time("parse+validate")  { var i = 0; while (i < n) { prepared.isValid(JsonValue.parse(instance)); i += 1 } }
+      time("stream-validate") { var i = 0; while (i < n) { prepared.isValidText(instance); i += 1 } }
       time("tree-walk-only")  { var i = 0; while (i < n) { interpOnly.isValidInterp(parsed); i += 1 } }
     }
     best.foreach { case (label, r) =>

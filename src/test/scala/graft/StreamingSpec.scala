@@ -1,0 +1,255 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, rng}
+import graft.spec._
+
+/** Differential + unit coverage for the fused streaming parse+validate
+  * path (Streaming.scala). The contract: `isValidText(text)` ==
+  * `isValid(JsonValue.parse(text))` on every document that parses. */
+class StreamingSpec extends AnyFunSuite {
+
+  private def prep(schemaJson: String): Interp.Prepared =
+    Interp.prepare(Spec.parseJson(schemaJson))
+
+  // ---- unit: dispatch + object/array pass corners ---------------------------
+
+  val tagUnion: String =
+    """{
+      "type": "object",
+      "required": ["tag"],
+      "properties": {"tag": {"type": "string", "enum": ["a", "b"]}},
+      "oneOf": [
+        {"type": "object", "required": ["tag", "x"], "additionalProperties": false,
+         "properties": {"tag": {"const": "a"}, "x": {"type": "integer", "minimum": 0}}},
+        {"type": "object", "required": ["tag"], "additionalProperties": false,
+         "properties": {"tag": {"const": "b"}, "y": {"type": "string", "minLength": 2}}}
+      ]
+    }"""
+
+  test("tag dispatch: key first, key last, absent, unknown, duplicate, wrong branch fields") {
+    val p = prep(tagUnion)
+    val cases = Seq(
+      """{"tag": "a", "x": 3}"""        -> true,
+      """{"x": 3, "tag": "a"}"""        -> true,  // dispatch key last: buffered replay
+      """{"tag": "a", "x": -1}"""       -> false, // branch constraint fails
+      """{"tag": "a"}"""                -> false, // branch required x missing
+      """{"tag": "b"}"""                -> true,
+      """{"tag": "b", "y": "zz"}"""     -> true,
+      """{"tag": "b", "y": "z"}"""      -> false, // minLength via branch
+      """{"tag": "b", "x": 1}"""        -> false, // additionalProperties: false
+      """{"tag": "c"}"""                -> false, // unknown tag
+      """{"x": 3}"""                    -> false, // dispatch key absent
+      """{"tag": "a", "tag": "b", "x": 3}""" -> false, // dup key: first dispatches, second fails const
+      """"a""""                          -> false, // non-object: type + trial
+      """[1, 2]"""                       -> false
+    )
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, s"text: $doc")
+      assert(p.isValid(JsonValue.parse(doc)) == want, s"tree: $doc")
+    }
+  }
+
+  test("type-dispatched oneOf incl. integer/number split") {
+    val p = prep(
+      """{"oneOf": [
+           {"type": "integer", "minimum": 5},
+           {"type": "string", "pattern": "^a"},
+           {"type": "array", "items": {"type": "integer"}, "minItems": 1}
+         ]}""")
+    val cases = Seq(
+      "7" -> true, "4" -> false, "7.5" -> false, "7.0" -> true,
+      "\"abc\"" -> true, "\"b\"" -> false,
+      "[1,2]" -> true, "[]" -> false, "[1,\"x\"]" -> false,
+      "null" -> false, "true" -> false, "{}" -> false)
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, doc)
+      assert(p.isValid(JsonValue.parse(doc)) == want, doc)
+    }
+  }
+
+  test("objects: required, bounds, patternProperties overlap, propertyNames") {
+    val p = prep(
+      """{
+        "type": "object",
+        "required": ["a", "b"],
+        "minProperties": 2, "maxProperties": 4,
+        "properties": {"a": {"type": "integer"}, "b": {"type": "string"}},
+        "patternProperties": {"^a": {"minimum": 0}},
+        "propertyNames": {"maxLength": 3},
+        "additionalProperties": {"type": "boolean"}
+      }""")
+    val cases = Seq(
+      """{"a": 1, "b": "x"}"""                 -> true,
+      """{"a": -1, "b": "x"}"""                -> false, // pattern ^a overlaps property a
+      """{"a": 1, "b": "x", "c": true}"""      -> true,
+      """{"a": 1, "b": "x", "c": 1}"""         -> false, // AP type
+      """{"a": 1}"""                           -> false, // required b
+      """{"a": 1, "b": "x", "c": true, "d": true, "e": true}""" -> false, // maxProperties
+      """{"a": 1, "b": "x", "long": true}"""   -> false  // propertyNames
+    )
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, doc)
+      assert(p.isValid(JsonValue.parse(doc)) == want, doc)
+    }
+  }
+
+  test("arrays: prefixItems + items(false) tuple, scalar checks") {
+    val p = prep(
+      """{"type": "array", "minItems": 2, "maxItems": 3, "items": false,
+         "prefixItems": [{"type": "string"}, {"type": "number", "multipleOf": 0.5}, {"enum": [1, "z", null]}]}""")
+    val cases = Seq(
+      """["s", 1.5]"""        -> true,
+      """["s", 1.5, "z"]"""   -> true,
+      """["s", 1.5, null]"""  -> true,
+      """["s", 1.5, 2]"""     -> false, // enum: 2 not a member (1 is)
+      """["s", 1.5, 1]"""     -> true,
+      """["s", 1.3]"""        -> false,
+      """["s"]"""             -> false, // minItems
+      """["s", 1.5, 1, 1]"""  -> false  // items: false beyond prefix
+    )
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, doc)
+      assert(p.isValid(JsonValue.parse(doc)) == want, doc)
+    }
+  }
+
+  test("materialized fallbacks: not / if-then-else / uniqueItems / contains nodes") {
+    val p = prep(
+      """{
+        "type": "object",
+        "properties": {
+          "n": {"not": {"type": "string"}},
+          "u": {"type": "array", "uniqueItems": true},
+          "c": {"type": "array", "contains": {"type": "integer"}, "minContains": 2},
+          "i": {"if": {"type": "integer"}, "then": {"minimum": 0}, "else": {"type": "string"}}
+        }
+      }""")
+    val cases = Seq(
+      """{"n": 5, "u": [1, 2], "c": [1, "x", 2], "i": 3}"""  -> true,
+      """{"n": "s"}"""                                        -> false,
+      """{"u": [1, 1]}"""                                     -> false,
+      """{"c": [1, "x"]}"""                                   -> false,
+      """{"i": -3}"""                                         -> false,
+      """{"i": "ok"}"""                                       -> true
+    )
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, doc)
+      assert(p.isValid(JsonValue.parse(doc)) == want, doc)
+    }
+  }
+
+  test("$ref merge, allOf merge, cycles") {
+    val p = prep(
+      """{
+        "$defs": {
+          "node": {"type": "object",
+                   "properties": {"v": {"type": "integer"}, "next": {"$ref": "#/$defs/node"}},
+                   "required": ["v"]}
+        },
+        "allOf": [{"$ref": "#/$defs/node"}, {"type": "object", "maxProperties": 2}]
+      }""")
+    val cases = Seq(
+      """{"v": 1}"""                                  -> true,
+      """{"v": 1, "next": {"v": 2, "next": {"v": 3}}}""" -> true,
+      """{"v": "x"}"""                                -> false,
+      """{"v": 1, "next": {"next": {}}}"""            -> false, // nested required v
+      """{"v": 1, "next": {"v": 2}, "z": 0}"""        -> false  // maxProperties via allOf
+    )
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, doc)
+      assert(p.isValid(JsonValue.parse(doc)) == want, doc)
+    }
+  }
+
+  test("grammar strictness: skipped regions are still parsed; trailing tokens ignored") {
+    val p = prep("""{"type": "object", "properties": {"a": {"type": "integer"}}}""")
+    // the "free" field is unconstrained (skipValue path) — malformedness there must throw
+    intercept[java.io.IOException](p.isValidText("""{"free": 01, "a": 2}"""))
+    intercept[java.io.IOException](p.isValidText("""{"free": [1,], "a": 2}"""))
+    intercept[java.io.IOException](p.isValidText("""{"free": "\q", "a": 2}"""))
+    // trailing garbage after the root value is ignored — same laxity as parse
+    assert(p.isValidText("""{"a": 2} trailing"""))
+    assert(p.isValid(JsonValue.parse("""{"a": 2} trailing""")))
+  }
+
+  // ---- differential: official suite corpus ----------------------------------
+
+  test("official suite corpus: streaming verdict == tree verdict on every case") {
+    val files = Seq("type.json", "numeric.json", "string.json", "enum_const.json",
+      "object.json", "array.json", "combinators.json", "conditional.json",
+      "ref.json", "ref_advanced.json", "anchor.json", "dynamicref.json",
+      "recursiveref.json", "format.json", "unevaluated.json", "content.json",
+      "content_assert.json", "ecmascript_regex.json")
+    var checked = 0
+    val failures = scala.collection.mutable.Buffer[String]()
+    files.foreach { f =>
+      SuiteHarness.loadResource(f).foreach { c =>
+        Seq(false, true).foreach { fmts =>
+          val p = Interp.prepare(Spec.parse(c.schema), assertFormats = fmts)
+          val text = JsonValue.render(c.data)
+          val tree = p.isValid(c.data)
+          val stream = p.isValidText(text)
+          checked += 1
+          if (stream != tree)
+            failures += s"$f / ${c.group} / ${c.description} (fmts=$fmts): stream=$stream tree=$tree"
+        }
+      }
+    }
+    info(s"checked $checked (case × assertFormats) pairs")
+    assert(checked > 1000)
+    assert(failures.isEmpty, s"\n${failures.take(10).mkString("\n")}")
+  }
+
+  // ---- differential: generated pairs -----------------------------------------
+
+  test("streaming verdict == tree verdict for 3000 generated (spec, instance) pairs") {
+    val ps = new PropertySpec
+    var seed = rng.Seed(20260817L)
+    var streamCompiled = 0
+    var fallbacks = 0
+    val failures = scala.collection.mutable.Buffer[String]()
+    for (_ <- 1 to 3000) {
+      val specJson = ps.genSpec.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val value = ps.genValue.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val p = Interp.prepare(Spec.parse(specJson))
+      val text = JsonValue.render(value)
+      Streaming.compile(p.registry, p.entry, assertFormats = false) match {
+        case None => fallbacks += 1
+        case Some(f) =>
+          streamCompiled += 1
+          val sv = f(text)
+          val tw = p.isValidInterp(value)
+          if (sv != tw)
+            failures += s"spec=${JsonValue.render(specJson)} value=$text: stream=$sv interp=$tw"
+      }
+    }
+    info(s"stream-compiled: $streamCompiled, fallbacks: $fallbacks")
+    assert(failures.isEmpty, s"\n${failures.take(10).mkString("\n")}")
+    assert(streamCompiled > 2500)
+  }
+
+  // ---- the recursive bench fixture -------------------------------------------
+
+  test("recursive bench fixture: streaming == tree on the real document and mutations") {
+    val instance = new String(getClass.getResourceAsStream(
+      "/bench/recursive_instance.json").readAllBytes(), "UTF-8")
+    val schema = new String(getClass.getResourceAsStream(
+      "/bench/recursive_schema.json").readAllBytes(), "UTF-8")
+    val p = prep(schema)
+    assert(p.isValidText(instance))
+    assert(p.isValid(JsonValue.parse(instance)))
+    // mutations: break the document in schema-visible ways
+    val mutations = Seq(
+      instance.replaceFirst("\"structured-content\"", "\"mystery-content\""), // unknown tag
+      instance.replaceFirst("\"tag\": \"span\"", "\"tag\": \"blink\""),       // unknown inner tag
+      instance.replaceFirst("0,", "0.5,"),                                    // integer slot gets fraction
+      instance.replaceFirst("\\[", "[[],")                                    // tuple arity broken
+    )
+    mutations.foreach { m =>
+      assume(m != instance)
+      val tree = p.isValid(JsonValue.parse(m))
+      assert(p.isValidText(m) == tree, "mutation verdicts must agree")
+    }
+  }
+}
