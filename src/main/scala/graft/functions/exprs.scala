@@ -125,16 +125,27 @@ object GraftFns {
     true
   }
 
-  /** `contentSchema` assertion: parse the (decoded) string as JSON and run
-    * the prepared reference-faithful interpreter over the dynamic value
+  /** `contentSchema` assertion: validate the (decoded) string against the
+    * prepared reference-faithful interpreter
     * (`keywords/content.rs:432-494`; the subschema's $refs resolve against
     * the WHOLE document, hence a Prepared with root+entry). A string that
-    * is not valid JSON passes vacuously — contentMediaType reports that. */
+    * is not valid JSON passes vacuously — contentMediaType reports that.
+    *
+    * Hot path: the fused streaming validator (Streaming.scala) — verdict
+    * straight off the text, no tree. Its one asymmetry: a failing check
+    * may short-circuit BEFORE a malformed region, returning false where
+    * this keyword owes vacuous-true; so a stream-false re-checks grammar
+    * (tree parse) to split genuinely-invalid from malformed. TRUE verdicts
+    * need no re-check — a streaming pass implies the document parses. */
   def contentSchemaValid(s: UTF8String, p: graft.spec.Interp.Prepared): Boolean = {
-    val parsed =
-      try graft.spec.JsonValue.parse(s.toString)
-      catch { case _: com.fasterxml.jackson.core.JacksonException => return true }
-    p.isValid(parsed)
+    val text = s.toString
+    try {
+      if (p.isValidText(text)) true
+      else {
+        try { graft.spec.JsonValue.parse(text); false }
+        catch { case _: java.io.IOException => true }
+      }
+    } catch { case _: java.io.IOException => true }
   }
 }
 

@@ -48,4 +48,26 @@ class RecursiveBenchSpec extends AnyFunSuite {
         prepared).as("ok"))
     assert(df.where(col("ok")).count() == 64)
   }
+
+  test("content_schema_valid: malformed JSON passes vacuously, invalid fails") {
+    val spec = Spec.parseJson(
+      """{"type": "object", "required": ["a"],
+         "properties": {"a": {"type": "integer", "minimum": 0}}}""")
+    val p = Interp.prepare(spec)
+    import spark.implicits._
+    val rows = Seq(
+      """{"a": 1}"""          -> true,  // valid
+      """{"a": -5}"""         -> false, // invalid (well-formed)
+      """{"b": 1}"""          -> false, // required missing
+      """{"a": 1"""           -> true,  // malformed: vacuous pass
+      """{"""                 -> true,  // malformed: vacuous pass
+      // the streaming asymmetry: minimum fails BEFORE the malformed tail —
+      // a stream-false must be re-checked for grammar and pass vacuously
+      """{"a": -5, "b": [1,"""-> true,
+      """not json at all"""   -> true)
+    val df = rows.toDF("doc", "want")
+      .select(graft.functions.exprs.content_schema_valid(col("doc"), p).as("got"),
+              col("want"))
+    assert(df.where(col("got") =!= col("want")).count() == 0)
+  }
 }
