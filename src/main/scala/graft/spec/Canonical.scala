@@ -405,7 +405,12 @@ object Canonical {
       if (java.lang.Double.isFinite(d)) BigDecimal(java.lang.Double.toString(d)) else v
     }
 
-  private def emissionPartition(sp: Spec): Spec = sp match {
+  /** `pinned`: type atoms an ENCLOSING conjunction already pins — an allOf
+    * member only ever sees instances inside them, so a bare-constraint
+    * member whose constrained domains cover the pin stays compact (the
+    * reference's IR leaves under a typed conjunction emit raw — the
+    * partitioned divisor view's `{multipleOf: n}` members). */
+  private def emissionPartition(sp: Spec, pinned: Set[String] = allAtoms): Spec = sp match {
     case o00: Spec.Obj =>
       // symbolic ¬uniqueItems renders allOf-wrapped with its typed target
       // (a PURE not-wrapper stays as written — wrapping it again would
@@ -423,17 +428,18 @@ object Canonical {
         exclusiveMaximum = o0.exclusiveMaximum.map(f64Respell),
         multipleOf = o0.multipleOf.map(f64Respell),
         properties = o0.properties.map { case (k, v) => k -> emissionPartition(v) },
-        items = o0.items.map(emissionPartition),
-        prefixItems = o0.prefixItems.map(emissionPartition),
-        contains = o0.contains.map(emissionPartition),
-        additionalProperties = o0.additionalProperties.map(emissionPartition),
+        items = o0.items.map(emissionPartition(_)),
+        prefixItems = o0.prefixItems.map(emissionPartition(_)),
+        contains = o0.contains.map(emissionPartition(_)),
+        additionalProperties = o0.additionalProperties.map(emissionPartition(_)),
         dependentSchemas = o0.dependentSchemas.map { case (k, v) => k -> emissionPartition(v) },
-        allOf = o0.allOf.map(emissionPartition),
-        anyOf = o0.anyOf.map(emissionPartition),
-        oneOf = o0.oneOf.map(emissionPartition),
-        ifSpec = o0.ifSpec.map(emissionPartition),
-        thenSpec = o0.thenSpec.map(emissionPartition),
-        elseSpec = o0.elseSpec.map(emissionPartition),
+        allOf = o0.allOf.map(m => emissionPartition(m,
+          o0.types.map(atomsOf).getOrElse(allAtoms))),
+        anyOf = o0.anyOf.map(emissionPartition(_)),
+        oneOf = o0.oneOf.map(emissionPartition(_)),
+        ifSpec = o0.ifSpec.map(emissionPartition(_)),
+        thenSpec = o0.thenSpec.map(emissionPartition(_)),
+        elseSpec = o0.elseSpec.map(emissionPartition(_)),
         // a constraint-bearing propertyNames target carries its implicit
         // string type in the emitted view (value-set targets stay bare)
         propertyNames = o0.propertyNames.map {
@@ -490,7 +496,8 @@ object Canonical {
       // the constrained domains (the constraint is vacuous on the extra
       // types — reference IR holds such leaves partitioned by type);
       // types inside the constrained domains stay compact
-      val declared = o.types.map(atomsOf).getOrElse(allAtoms)
+      val declared = o.types.map(atomsOf).getOrElse(allAtoms).intersect(pinned)
+      if (declared.isEmpty) return o
       var constrained = Set.empty[String]
       val groups = Vector.newBuilder[Spec]
       if (hasNum && declared.contains("int")) {
@@ -527,7 +534,9 @@ object Canonical {
       val gs = groups.result().filter(g => g != Spec.empty)
       if (gs.isEmpty) return o
       val free = declared -- constrained
-      if (o.types.nonEmpty && free.isEmpty) return o // in-domain typed leaf stays compact
+      // an in-domain leaf stays compact — typed itself, or typed by the
+      // enclosing conjunction's pin (bare divisor members)
+      if (free.isEmpty && (o.types.nonEmpty || pinned != allAtoms)) return o
       val pieces = typesFromAtoms(free) ++ gs
       pieces match {
         case Vector() => o
@@ -1903,12 +1912,51 @@ object Canonical {
       case sub: Spec.Obj =>
         mergeInto(acc, sub) match {
           case Some(m2) => acc = m2
-          case None     => keep += sub
+          case None =>
+            // Divisor-only conflict (the pair's exact LCM has no f64-exact
+            // spelling): the member's other keywords still hoist into the
+            // parent; its divisor stays behind as a bare conjunct for the
+            // divisor-set fold below (divisors.rs keeps unfoldable pairs
+            // partitioned).
+            val hoisted = for {
+              da <- acc.multipleOf if da.signum > 0
+              db <- sub.multipleOf if db.signum > 0
+              if lcmRational(da, db).isEmpty
+              rest <- mergeInto(acc, sub.copy(multipleOf = None))
+            } yield (rest, db)
+            hoisted match {
+              case Some((rest, db)) =>
+                acc = rest
+                keep += Spec.Obj(multipleOf = Some(db))
+              case None => keep += sub
+            }
         }
       case other => keep += other
     }
     o.allOf.foreach(visit)
     var kept = keep.result().distinct
+    // Divisor-set fold (`divisors.rs fold`): the parent's divisor and the
+    // bare-divisor members form one set — pairs whose exact LCM has an
+    // f64-exact spelling fold to it, then a divisor carrying factors
+    // another already supplies sheds them (9e307 beside 8e307 ⇒ 9). One
+    // survivor rides the parent; several each render as their own
+    // conjunct (the reference's partitioned divisor view).
+    if (acc.multipleOf.exists(_.signum > 0)) {
+      def pureDiv(m: Spec): Option[BigDecimal] = m match {
+        case mo: Spec.Obj if mo.multipleOf.exists(_.signum > 0) &&
+            only(mo)(_.copy(multipleOf = None)) => mo.multipleOf
+        case _ => None
+      }
+      if (kept.exists(m => pureDiv(m).nonEmpty)) {
+        val divs = foldDivisorSet(acc.multipleOf.get +: kept.flatMap(m => pureDiv(m).toVector))
+        kept = kept.filter(m => pureDiv(m).isEmpty)
+        if (divs.length == 1) acc = acc.copy(multipleOf = Some(divs.head))
+        else {
+          acc = acc.copy(multipleOf = None)
+          kept = kept ++ divs.map(d => Spec.Obj(multipleOf = Some(d)))
+        }
+      }
+    }
     // value shields meeting on no value close the map over the declared
     // keys (the reference's closed-object view): X ∧ Y where both carry
     // additionalProperties whose meet admits nothing ⇒ only X's declared
@@ -2176,6 +2224,57 @@ object Canonical {
       minContains = maxOfL(a.minContains, b.minContains),
       maxContains = minOfL(a.maxContains, b.maxContains),
     ))
+  }
+
+  /** Fold a divisor set to fixpoint (`divisors.rs fold:200-222`): take the
+    * first foldable pair (exact LCM with an f64-exact spelling) and
+    * replace it with the LCM; otherwise strip the first divisor carrying
+    * factors another already supplies; re-sort/dedup and repeat. Folding
+    * drops a divisor and stripping shrinks one, so it terminates. */
+  private def foldDivisorSet(divs0: Vector[BigDecimal]): Vector[BigDecimal] = {
+    var divs = divs0.distinct.sorted
+    var go = true
+    while (go && divs.length > 1) {
+      go = false
+      val folded = (for {
+        i <- divs.indices.iterator
+        j <- (i + 1 until divs.length).iterator
+        l <- lcmRational(divs(i), divs(j)).iterator
+      } yield (i, j, l)).nextOption()
+      folded match {
+        case Some((i, j, l)) =>
+          divs = divs.updated(i, l).patch(j, Nil, 1).distinct.sorted
+          go = true
+        case None =>
+          val stripped = (for {
+            i <- divs.indices.iterator
+            j <- divs.indices.iterator if j != i
+            s <- withoutFactorsOf(divs(i), divs(j)).iterator
+          } yield (i, s)).nextOption()
+          stripped.foreach { case (i, s) =>
+            divs = divs.updated(i, s).distinct.sorted
+            go = true
+          }
+      }
+    }
+    divs
+  }
+
+  /** `mine` with the factors `theirs` already supplies removed: the largest
+    * divisor of `mine` built only from primes `theirs` has (iterated gcd)
+    * may go, but only when `theirs` carries it whole — else the pair would
+    * admit more (6 beside 2^52 ⇒ 3; 4 beside 6 ⇒ None). Whole divisors
+    * only; the stripped spelling must stay f64-exact
+    * (`bound_rational.rs:139-156`). */
+  private def withoutFactorsOf(mine: BigDecimal, theirs: BigDecimal): Option[BigDecimal] = {
+    if (!mine.isWhole || !theirs.isWhole) return None
+    val t = theirs.toBigInt
+    var shared = BigInt(1)
+    var rest = mine.toBigInt
+    var common = rest.gcd(t)
+    while (common != BigInt(1)) { shared *= common; rest /= common; common = rest.gcd(t) }
+    if (shared == BigInt(1) || t % shared != BigInt(0)) None
+    else Some(BigDecimal(rest)).filter(s => s > 1 && f64Exact(s))
   }
 
   /** Exact LCM of two positive decimal rationals: reduce to fractions

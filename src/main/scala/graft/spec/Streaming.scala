@@ -488,6 +488,9 @@ object Streaming {
           assemble(acc)
         } catch {
           case Unstreamable =>
+            if (System.getenv("GRAFT_STREAM_DEBUG") != null)
+              System.err.println("[stream-debug] materialize node: " +
+                o.toString.replaceAll("(?:None|Vector\\(\\)|Map\\(\\)|false),?\\s*", "").take(300))
             val d = twinEntry(o)
             c => d(c.readTree())
         }

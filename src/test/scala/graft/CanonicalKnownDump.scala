@@ -7,7 +7,7 @@ object CanonicalKnownDump {
   def main(args: Array[String]): Unit = {
     val spec = new CanonicalFormSpec
     val f = args.headOption.getOrElse("numeric.json")
-    spec.load(f).foreach { case (desc, schemaJson, expected) =>
+    spec.load(f).foreach { case (desc, schemaJson, expected, _) =>
       if (spec.knownDivergent.contains(s"$f / $desc")) {
         val sp = Spec.parse(schemaJson)
         val ours = spec.canonForm(Spec.toJson(Canonical.canonicalize(sp)))

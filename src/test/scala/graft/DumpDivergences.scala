@@ -13,7 +13,7 @@ object DumpDivergences {
       else Vector("negation.json", "oneof.json", "numeric.json", "algebra.json")
     files.foreach { f =>
       println(s"===== $f =====")
-      spec.load(f).foreach { case (desc, schemaJson, expected) =>
+      spec.load(f).foreach { case (desc, schemaJson, expected, _) =>
         val key = s"$f / $desc"
         val s = try Spec.parse(schemaJson) catch { case _: SpecError => null }
         if (s != null && !spec.knownDivergent.contains(key)) {
