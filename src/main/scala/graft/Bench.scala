@@ -91,6 +91,30 @@ object Bench {
       .count()
   }
 
+  /** Distribution drift on the audio columns the north rule names: dur_ms
+    * and sr_hz histograms against a baseline snapshot (TableChecks PSI +
+    * KS). Baseline cohort = even crc32(clip_id), current = odd — the same
+    * generator distribution, so the check must PASS here; detection of a
+    * genuinely shifted cohort is asserted in AudioSpec. Each histogram is
+    * one partial-agg scan; the PSI/KS comparison is O(buckets) on the
+    * driver. */
+  def clipsDrift(spark: SparkSession, path: String): (Double, Double) = {
+    val df = spark.read.parquet(path)
+      .withColumn("_cohort", crc32(col("clip_id")) % 2)
+    val base = df.where(col("_cohort") === 0)
+    val cur = df.where(col("_cohort") === 1)
+    def snapshot(c: String, lo: Double, hi: Double, b: Int): Map[Long, Long] =
+      TableChecks.histogram(base, c, lo, hi, b).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dur = TableChecks.driftCheck(cur, "dur_ms", 0, 200, 20,
+      snapshot("dur_ms", 0, 200, 20), psiMax = 0.1)
+    val sr = TableChecks.driftCheck(cur, "sr_hz", 0, 48001, 16,
+      snapshot("sr_hz", 0, 48001, 16), psiMax = 0.1)
+    require(dur.pass && sr.pass,
+      f"clips drift check failed: psi dur_ms=${dur.psi}%.4f sr_hz=${sr.psi}%.4f")
+    (dur.psi, sr.psi)
+  }
+
   /** The reference's headline "Recursive" benchmark mirrored at table
     * scale: every row carries a ~4.7 KB nested-dictionary JSON document
     * (vendored `crates/benchmark/data/recursive_instance.json`, made
@@ -248,6 +272,7 @@ object Bench {
     val clipsPerSec = rows / results("clips_full_suite")
     timed("clips_audio_quality", 2) { audioQualityProfile(spark, clipsPath) }
     timed("clips_pipeline", 2) { clipsPipeline(spark, clipsPath) }
+    timed("clips_drift", 2) { clipsDrift(spark, clipsPath) }
     // reference headline "Recursive": 40k nested docs, prepared interpreter
     val recPath = recursiveFixture(spark, 40000, cpus.toInt * 2)
     validateRecursive(spark, recPath) // warmup

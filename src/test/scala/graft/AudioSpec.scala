@@ -124,4 +124,33 @@ class AudioSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("drift on dur_ms/sr_hz vs baseline snapshot: same cohort passes, shifted cohort trips") {
+    val clips = ClipsGen.generate(spark, 4000, partitions = 4, corruptionRate = 0.0).toDF()
+    def snapshot(df: org.apache.spark.sql.DataFrame, c: String,
+                 lo: Double, hi: Double, b: Int): Map[Long, Long] =
+      TableChecks.histogram(df, c, lo, hi, b).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical distribution: a same-generator cohort split must pass
+    val durBase = snapshot(clips.where(crc32(col("clip_id")) % 2 === 0), "dur_ms", 0, 200, 20)
+    val same = TableChecks.driftCheck(clips.where(crc32(col("clip_id")) % 2 === 1),
+      "dur_ms", 0, 200, 20, durBase, psiMax = 0.1)
+    assert(same.pass, f"same-distribution cohort tripped: psi=${same.psi}%.4f")
+    // shifted duration distribution (only long clips survive): must trip
+    val fullBase = snapshot(clips, "dur_ms", 0, 200, 20)
+    val shifted = TableChecks.driftCheck(clips.where(col("dur_ms") >= 110),
+      "dur_ms", 0, 200, 20, fullBase, psiMax = 0.1)
+    assert(!shifted.pass && shifted.psi > 0.5, f"shift undetected: psi=${shifted.psi}%.4f")
+    assert(shifted.ks > 0.3, f"ks missed the CDF gap: ${shifted.ks}%.4f")
+    // sr_hz: dropping one sample rate from the categorical histogram trips
+    val srBase = snapshot(clips, "sr_hz", 0, 48001, 16)
+    val srShift = TableChecks.driftCheck(clips.where(col("sr_hz") =!= 48000),
+      "sr_hz", 0, 48001, 16, srBase, psiMax = 0.1)
+    assert(!srShift.pass, f"sr_hz shift undetected: psi=${srShift.psi}%.4f")
+    // the bench's end-to-end entry over a parquet snapshot
+    val path = java.nio.file.Files.createTempDirectory("clips_drift").toString
+    clips.write.mode("overwrite").parquet(path)
+    val (durPsi, srPsi) = Bench.clipsDrift(spark, path)
+    assert(durPsi < 0.1 && srPsi < 0.1)
+  }
 }
