@@ -225,31 +225,53 @@ object JsonValue {
 
     /** Field names intern straight from the source range (no substring
       * allocation on the no-escape fast path). */
+    /** The first position in [from, q) holding '\\' or an unescaped
+      * control char, or q when the span is clean. The quote position `q`
+      * comes from the SIMD `String.indexOf` intrinsic; this vet loop is
+      * branch-free per char so the common clean span costs two compares
+      * per char with no mispredicts. */
+    private def vetSpan(from: Int, q: Int): Int = {
+      var j = from
+      var bad = false
+      while (j < q && !bad) {
+        val e = math.min(q, j + 32)
+        while (j < e) {
+          val c = s.charAt(j)
+          bad |= (c == '\\') | (c < ' ')
+          j += 1
+        }
+      }
+      if (!bad) q
+      else {
+        var k = from
+        while (s.charAt(k) != '\\' && s.charAt(k) >= ' ') k += 1
+        k
+      }
+    }
+
     private def parseFieldName(): String = {
       i += 1 // opening '"'
       val start = i
-      while (i < n) {
-        val c = s.charAt(i)
-        if (c == '"') { val out = FieldIntern.internRange(s, start, i); i += 1; return out }
-        if (c == '\\') return FieldIntern.intern(parseStringSlow(start))
-        if (c < ' ') err("unescaped control character in string")
-        i += 1
-      }
-      err("unterminated string")
+      val q = s.indexOf('"', i)
+      if (q < 0) err("unterminated string")
+      val p = vetSpan(i, q)
+      if (p == q) { i = q + 1; return FieldIntern.internRange(s, start, q) }
+      i = p
+      if (s.charAt(p) == '\\') FieldIntern.intern(parseStringSlow(start))
+      else err("unescaped control character in string")
     }
 
     private def parseString(): String = {
       i += 1 // opening '"'
       val start = i
       // fast path: no escapes → one substring
-      while (i < n) {
-        val c = s.charAt(i)
-        if (c == '"') { val out = s.substring(start, i); i += 1; return out }
-        if (c == '\\') return parseStringSlow(start)
-        if (c < ' ') err("unescaped control character in string")
-        i += 1
-      }
-      err("unterminated string")
+      val q = s.indexOf('"', i)
+      if (q < 0) err("unterminated string")
+      val p = vetSpan(i, q)
+      if (p == q) { i = q + 1; return s.substring(start, q) }
+      i = p
+      if (s.charAt(p) == '\\') parseStringSlow(start)
+      else err("unescaped control character in string")
     }
 
     private def parseStringSlow(start: Int): String = {

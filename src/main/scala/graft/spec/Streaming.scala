@@ -76,7 +76,14 @@ object Streaming {
   private final class OD(val key: String,
                          val strTable: java.util.HashMap[String, Integer],
                          val renderTable: Map[String, Int],
-                         val branches: Array[BranchObj])
+                         val branches: Array[BranchObj]) {
+    /** Worst-case consumer/pns growth a decision can add — lets the pass
+      * preallocate flat tables instead of growable collections. */
+    val maxBranchCons: Int =
+      branches.iterator.filter(_ != null).map(_.cons.length).maxOption.getOrElse(0)
+    val maxBranchPns: Int =
+      branches.iterator.filter(_ != null).map(_.pns.length).maxOption.getOrElse(0)
+  }
   private final class AC(val prefixS: Array[SRef], val prefixD: Array[JsonValue => Boolean],
                          val itemsS: SRef, val itemsD: JsonValue => Boolean,
                          val minI: Long, val maxI: Long)
@@ -238,18 +245,31 @@ object Streaming {
                               pns0: Array[String => Boolean]): Boolean = {
     cur.bump() // '{'
     cur.ws()
-    val cons = new ArrayBuffer[OC](cons0.length + 4)
-    var ci0 = 0
-    while (ci0 < cons0.length) { cons += cons0(ci0); ci0 += 1 }
-    val masks = ArrayBuffer.fill[Long](cons.length)(0L)
-    val pns = ArrayBuffer[String => Boolean](pns0.toSeq: _*)
-    val pending = ArrayBuffer[OD](disp0.toSeq: _*)
+    // flat preallocated tables: branch consumers activate in place as
+    // dispatch keys decide — no growable collections, no Long boxing on
+    // the required-bit masks, nothing allocated for the common
+    // tag-arrives-first object beyond these three arrays
+    var consCap = cons0.length
+    var pnsCap = pns0.length
+    var di0 = 0
+    while (di0 < disp0.length) {
+      consCap += disp0(di0).maxBranchCons
+      pnsCap += disp0(di0).maxBranchPns
+      di0 += 1
+    }
+    val cons = java.util.Arrays.copyOf(cons0, consCap)
+    var nCons = cons0.length
+    val masks = new Array[Long](consCap)
+    val pns = java.util.Arrays.copyOf(pns0, pnsCap)
+    var nPns = pns0.length
+    val pending = disp0.clone()
     var undecided = pending.length
-    var buffer = new ArrayBuffer[(String, JsonValue)](8)
+    var bufK: ArrayBuffer[String] = null
+    var bufV: ArrayBuffer[JsonValue] = null
 
     def feedTree(from: Int, key: String, v: JsonValue): Boolean = {
       var ci = from
-      while (ci < cons.length) {
+      while (ci < nCons) {
         val oc = cons(ci)
         val fp = oc.fields.get(key)
         if (fp != null && fp.reqBit >= 0) masks(ci) |= 1L << fp.reqBit
@@ -277,21 +297,20 @@ object Streaming {
           if (br == null) return false
           pending(di) = null
           undecided -= 1
-          val base = cons.length
+          val base = nCons
           var bi = 0
-          while (bi < br.cons.length) { cons += br.cons(bi); masks += 0L; bi += 1 }
+          while (bi < br.cons.length) { cons(nCons) = br.cons(bi); nCons += 1; bi += 1 }
           var pi = 0
           while (pi < br.pns.length) {
             val pn = br.pns(pi)
             var k = 0
-            while (k < buffer.length) { if (!pn(buffer(k)._1)) return false; k += 1 }
-            pns += pn
+            while (k < bufK.length) { if (!pn(bufK(k))) return false; k += 1 }
+            pns(nPns) = pn; nPns += 1
             pi += 1
           }
           var k = 0
-          while (k < buffer.length) {
-            val (bk, bv) = buffer(k)
-            if (!feedTree(base, bk, bv)) return false
+          while (k < bufK.length) {
+            if (!feedTree(base, bufK(k), bufV(k))) return false
             k += 1
           }
         }
@@ -309,19 +328,23 @@ object Streaming {
         val key = cur.readFieldName()
         cur.ws(); cur.expect(':')
         var pi = 0
-        while (pi < pns.length) { if (!pns(pi)(key)) return false; pi += 1 }
+        while (pi < nPns) { if (!pns(pi)(key)) return false; pi += 1 }
         if (undecided > 0) {
-          // branch membership unknown: materialize and buffer everything
-          val v = cur.readTree()
-          buffer += ((key, v))
+          // branch membership unknown: materialize and buffer. A string
+          // value (the dominant case — it IS usually the tag) builds its
+          // JStr directly off the scanner instead of a tree-parser pass.
+          val v: JsonValue =
+            if (cur.peek == '"') JStr(cur.readString()) else cur.readTree()
+          if (bufK == null) { bufK = new ArrayBuffer[String](4); bufV = new ArrayBuffer[JsonValue](4) }
+          bufK += key; bufV += v
           if (!feedTree(0, key, v)) return false
           if (!tryDecide(key, v)) return false
-          if (undecided == 0) buffer = null // decided: stream from here on
+          if (undecided == 0) { bufK = null; bufV = null } // decided: stream from here on
         } else {
           var nChecks = 0
           var theS: SRef = null
           var ci = 0
-          while (ci < cons.length) {
+          while (ci < nCons) {
             val oc = cons(ci)
             val fp = oc.fields.get(key)
             var covered = false
@@ -346,7 +369,7 @@ object Streaming {
           else {
             val v = cur.readTree()
             ci = 0
-            while (ci < cons.length) {
+            while (ci < nCons) {
               if (!applyTree(cons(ci), key, v)) return false
               ci += 1
             }
@@ -363,7 +386,7 @@ object Streaming {
     }
     if (undecided > 0) return false // dispatch key absent ⇒ no branch selected
     var ci = 0
-    while (ci < cons.length) {
+    while (ci < nCons) {
       val oc = cons(ci)
       if (oc.reqCount > 0 && masks(ci) != oc.reqFull) return false
       if (oc.minP >= 0 && count < oc.minP) return false
@@ -874,29 +897,28 @@ object Streaming {
       if (i >= n || s.charAt(i) != '"') err("expected field name")
       i += 1
       val start = i
-      while (i < n) {
-        val c = s.charAt(i)
-        if (c == '"') {
-          val out = JsonValue.FieldIntern.internRange(s, start, i); i += 1; return out
-        }
-        if (c == '\\') return JsonValue.FieldIntern.intern(readStringSlow(start))
-        if (c < ' ') err("unescaped control character in string")
-        i += 1
+      val q = s.indexOf('"', i)
+      if (q < 0) err("unterminated string")
+      val p = vetSpan(i, q)
+      if (p == q) {
+        i = q + 1
+        return JsonValue.FieldIntern.internRange(s, start, q)
       }
-      err("unterminated string")
+      i = p
+      if (s.charAt(p) == '\\') JsonValue.FieldIntern.intern(readStringSlow(start))
+      else err("unescaped control character in string")
     }
 
     def readString(): String = {
       i += 1 // opening '"' (caller peeked)
       val start = i
-      while (i < n) {
-        val c = s.charAt(i)
-        if (c == '"') { val out = s.substring(start, i); i += 1; return out }
-        if (c == '\\') return readStringSlow(start)
-        if (c < ' ') err("unescaped control character in string")
-        i += 1
-      }
-      err("unterminated string")
+      val q = s.indexOf('"', i)
+      if (q < 0) err("unterminated string")
+      val p = vetSpan(i, q)
+      if (p == q) { i = q + 1; return s.substring(start, q) }
+      i = p
+      if (s.charAt(p) == '\\') readStringSlow(start)
+      else err("unescaped control character in string")
     }
 
     private def readStringSlow(start: Int): String = {
@@ -938,9 +960,39 @@ object Streaming {
       err("unterminated string")
     }
 
+    /** The first position in [from, q) holding '\\' or an unescaped
+      * control char, or q when the span is clean. The quote position `q`
+      * comes from the SIMD `String.indexOf` intrinsic; this vet loop is
+      * branch-free per char so the common clean span costs two compares
+      * per char with no mispredicts. */
+    private def vetSpan(from: Int, q: Int): Int = {
+      var j = from
+      var bad = false
+      while (j < q && !bad) {
+        // branch-free accumulate over a small stride, then re-check
+        val e = math.min(q, j + 32)
+        while (j < e) {
+          val c = s.charAt(j)
+          bad |= (c == '\\') | (c < ' ')
+          j += 1
+        }
+      }
+      if (!bad) q
+      else {
+        var k = from
+        while (s.charAt(k) != '\\' && s.charAt(k) >= ' ') k += 1
+        k
+      }
+    }
+
     /** Skip a string (opening quote at cursor), validating escapes. */
     def skipString(): Unit = {
       i += 1
+      val q = s.indexOf('"', i)
+      if (q < 0) err("unterminated string")
+      val p = vetSpan(i, q)
+      if (p == q) { i = q + 1; return }
+      i = p
       while (i < n) {
         val c = s.charAt(i)
         if (c == '"') { i += 1; return }
