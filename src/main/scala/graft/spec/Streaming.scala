@@ -43,6 +43,10 @@ object Streaming {
     override def fillInStackTrace(): Throwable = this
   }
 
+  /** Temporary dispatch-path diagnostics (GRAFT_STREAM_DEBUG). */
+  val DBG: Array[Long] =
+    if (System.getenv("GRAFT_STREAM_DEBUG") != null) new Array[Long](8) else null
+
   /** Compiled streaming validator for `entry`; None when the tree-side
     * twin compiler exceeds its budget (caller falls back to parse+walk). */
   def compile(registry: Registry, entry: Spec, assertFormats: Boolean): Option[String => Boolean] =
@@ -83,7 +87,18 @@ object Streaming {
       branches.iterator.filter(_ != null).map(_.cons.length).maxOption.getOrElse(0)
     val maxBranchPns: Int =
       branches.iterator.filter(_ != null).map(_.pns.length).maxOption.getOrElse(0)
+    /** Precomputed per tag value (the tag checks run against CONSTANTS, so
+      * they evaluate at compile time): full verdict of the tag field
+      * against the node's own consumers plus the selected branch's, and
+      * the required-bit deltas both contribute. Filled by `assemble` once
+      * the node's consumer set is final; lets the dominant
+      * tag-arrives-first object decide with ONE hash get — no JStr, no
+      * tree twins, no per-consumer map lookups. */
+    var fastTag: java.util.HashMap[String, TagHit] = null
   }
+  /** delta(i): required-bit contribution of the tag field — [0, nCons0)
+    * for the node's own consumers, [nCons0, …) for the branch's. */
+  private final class TagHit(val branch: Int, val ok: Boolean, val delta: Array[Long])
   private final class AC(val prefixS: Array[SRef], val prefixD: Array[JsonValue => Boolean],
                          val itemsS: SRef, val itemsD: JsonValue => Boolean,
                          val minI: Long, val maxI: Long)
@@ -330,16 +345,68 @@ object Streaming {
         var pi = 0
         while (pi < nPns) { if (!pns(pi)(key)) return false; pi += 1 }
         if (undecided > 0) {
-          // branch membership unknown: materialize and buffer. A string
-          // value (the dominant case — it IS usually the tag) builds its
-          // JStr directly off the scanner instead of a tree-parser pass.
-          val v: JsonValue =
-            if (cur.peek == '"') JStr(cur.readString()) else cur.readTree()
-          if (bufK == null) { bufK = new ArrayBuffer[String](4); bufV = new ArrayBuffer[JsonValue](4) }
-          bufK += key; bufV += v
-          if (!feedTree(0, key, v)) return false
-          if (!tryDecide(key, v)) return false
-          if (undecided == 0) { bufK = null; bufV = null } // decided: stream from here on
+          // tag fast path: single pending dispatch, nothing buffered, no
+          // consumer growth yet, string value on the dispatch key — the
+          // whole field's verdict + required-bit effects were precomputed
+          // at compile time (OD.fastTag): one hash get, no JStr, no twins.
+          cur.ws()
+          var handled = false
+          var preRead: JsonValue = null // consumed by the fast path, table miss
+          if (DBG != null) {
+            DBG(0) += 1
+            if (undecided != 1) DBG(1) += 1
+            else if (bufK != null) DBG(2) += 1
+            else if (nCons != cons0.length) DBG(3) += 1
+            else if (cur.peek != '"') DBG(4) += 1
+            else {
+              var dj = 0
+              while (dj < pending.length && (pending(dj) == null || pending(dj).key != key)) dj += 1
+              if (dj >= pending.length) DBG(5) += 1
+              else if (pending(dj).fastTag == null) DBG(6) += 1
+              else DBG(7) += 1
+            }
+          }
+          if (undecided == 1 && bufK == null && nCons == cons0.length &&
+              cur.peek == '"') {
+            var di = 0
+            while (di < pending.length && (pending(di) == null || pending(di).key != key)) di += 1
+            if (di < pending.length && pending(di).fastTag != null) {
+              val dp = pending(di)
+              val s0 = cur.readString()
+              val hit = dp.fastTag.get(s0)
+              if (hit == null) preRead = JStr(s0) // escaped-const tags live in renderTable
+              else if (!hit.ok) return false
+              else {
+                pending(di) = null
+                undecided = 0
+                var k = 0
+                while (k < nCons) { masks(k) |= hit.delta(k); k += 1 }
+                val br = dp.branches(hit.branch)
+                var bi = 0
+                while (bi < br.cons.length) {
+                  cons(nCons) = br.cons(bi)
+                  masks(nCons) = hit.delta(cons0.length + bi)
+                  nCons += 1; bi += 1
+                }
+                var pi2 = 0
+                while (pi2 < br.pns.length) { pns(nPns) = br.pns(pi2); nPns += 1; pi2 += 1 }
+                handled = true
+              }
+            }
+          }
+          if (!handled) {
+            // branch membership unknown: materialize and buffer. A string
+            // value (the dominant case — it IS usually the tag) builds its
+            // JStr directly off the scanner instead of a tree-parser pass.
+            val v: JsonValue =
+              if (preRead != null) preRead
+              else if (cur.peek == '"') JStr(cur.readString()) else cur.readTree()
+            if (bufK == null) { bufK = new ArrayBuffer[String](4); bufV = new ArrayBuffer[JsonValue](4) }
+            bufK += key; bufV += v
+            if (!feedTree(0, key, v)) return false
+            if (!tryDecide(key, v)) return false
+            if (undecided == 0) { bufK = null; bufV = null } // decided: stream from here on
+          }
         } else {
           var nChecks = 0
           var theS: SRef = null
@@ -539,12 +606,50 @@ object Streaming {
     }
 
     private def assemble(acc: Acc): Cur => Boolean = {
+      val cons0 = acc.cons.toArray
+      // Precompute the tag-hit table now that the node's consumer set is
+      // final: every check the tag field faces is against compile-time
+      // constants, so the verdict + required-bit deltas fold into one
+      // table entry per tag value (see OD.fastTag).
+      acc.disp.foreach { od =>
+        val ft = new java.util.HashMap[String, TagHit]()
+        od.strTable.forEach { (tag, idxI) =>
+          val idx = idxI.intValue
+          val br = od.branches(idx)
+          if (br == null) ft.put(tag, new TagHit(idx, false, null))
+          else {
+            val v = JStr(tag)
+            var ok = true
+            val delta = new Array[Long](cons0.length + br.cons.length)
+            var ci = 0
+            while (ci < cons0.length) {
+              val oc = cons0(ci)
+              val fp = oc.fields.get(od.key)
+              if (fp != null && fp.reqBit >= 0) delta(ci) |= 1L << fp.reqBit
+              ok &&= applyTree(oc, od.key, v)
+              ci += 1
+            }
+            var bi = 0
+            while (bi < br.cons.length) {
+              val oc = br.cons(bi)
+              val fp = oc.fields.get(od.key)
+              if (fp != null && fp.reqBit >= 0) delta(cons0.length + bi) |= 1L << fp.reqBit
+              ok &&= applyTree(oc, od.key, v)
+              bi += 1
+            }
+            var pi = 0
+            while (pi < br.pns.length) { ok &&= br.pns(pi)(od.key); pi += 1 }
+            ft.put(tag, new TagHit(idx, ok, delta))
+          }
+        }
+        od.fastTag = ft
+      }
       val shape = new Shape(
         acc.okNull, acc.okTrue, acc.okFalse,
         acc.okInt, acc.okFrac, acc.numCI.toArray, acc.numCF.toArray,
         acc.okStr, acc.strC.toArray,
         acc.okArr, acc.acs.toArray,
-        acc.okObj, acc.cons.toArray, acc.disp.toArray, acc.pns.toArray)
+        acc.okObj, cons0, acc.disp.toArray, acc.pns.toArray)
       c => shape.run(c)
     }
 

@@ -47,7 +47,7 @@ object StreamProfileProbe {
           counts(fr) = counts.getOrElse(fr, 0) + 1
         }
         if (st.exists(_.getClassName.contains("Compiled"))) {
-          val key = st.take(10).toVector.map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+          val key = st.take(14).toVector.map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
           stacks(key) = stacks.getOrElse(key, 0) + 1
         }
       }
