@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tag dispatch: escaped-const tags (renderTable only) fall back correctly") {
+    // "a\nb" cannot live in the raw-string fast table — the slow path must
+    // decide it; plain "c" dispatches fast; unknown tags reject either way
+    val p = prep(
+      """{
+        "type": "object", "required": ["t"],
+        "oneOf": [
+          {"type": "object", "properties": {"t": {"const": "a\nb"}, "x": {"type": "integer"}},
+           "required": ["t", "x"], "additionalProperties": false},
+          {"type": "object", "properties": {"t": {"const": "c"}},
+           "required": ["t"], "additionalProperties": false}
+        ]
+      }""")
+    val cases = Seq(
+      "{\"t\": \"a\\nb\", \"x\": 1}" -> true,
+      "{\"t\": \"a\\nb\"}"           -> false, // branch required x
+      "{\"t\": \"c\"}"               -> true,
+      "{\"x\": 1, \"t\": \"a\\nb\"}" -> true,  // tag last: buffered replay
+      "{\"t\": \"d\"}"               -> false)
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, s"text: $doc")
+      assert(p.isValid(JsonValue.parse(doc)) == want, s"tree: $doc")
+    }
+  }
+
   test("type-dispatched oneOf incl. integer/number split") {
     val p = prep(
       """{"oneOf": [
