@@ -233,13 +233,10 @@ object JsonValue {
     private def vetSpan(from: Int, q: Int): Int = {
       var j = from
       var bad = false
-      while (j < q && !bad) {
-        val e = math.min(q, j + 32)
-        while (j < e) {
-          val c = s.charAt(j)
-          bad |= (c == '\\') | (c < ' ')
-          j += 1
-        }
+      while (j < q) {
+        val c = s.charAt(j)
+        bad |= (c == '\\') | (c < ' ')
+        j += 1
       }
       if (!bad) q
       else {

@@ -1073,14 +1073,10 @@ object Streaming {
     private def vetSpan(from: Int, q: Int): Int = {
       var j = from
       var bad = false
-      while (j < q && !bad) {
-        // branch-free accumulate over a small stride, then re-check
-        val e = math.min(q, j + 32)
-        while (j < e) {
-          val c = s.charAt(j)
-          bad |= (c == '\\') | (c < ' ')
-          j += 1
-        }
+      while (j < q) {
+        val c = s.charAt(j)
+        bad |= (c == '\\') | (c < ' ')
+        j += 1
       }
       if (!bad) q
       else {
