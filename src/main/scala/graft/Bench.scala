@@ -280,6 +280,27 @@ object Bench {
       val ok = validateRecursive(spark, recPath)
       require(ok == 40000L, s"recursive validation regressed: $ok/40000 valid")
     }
+    // the reference's Recursive headline frame: single-core fused streaming
+    // parse+validate docs/s (its Rust walker: ~155k/s on this document)
+    val recStreamPerSec = {
+      val instance = new String(
+        getClass.getResourceAsStream("/bench/recursive_instance.json").readAllBytes(), "UTF-8")
+      val schema = new String(
+        getClass.getResourceAsStream("/bench/recursive_schema.json").readAllBytes(), "UTF-8")
+      val prepared = graft.spec.Interp.prepare(graft.spec.Spec.parseJson(schema))
+      require(prepared.isValidText(instance))
+      var iters = 0
+      val warm = System.nanoTime()
+      while (System.nanoTime() - warm < 2e9.toLong) { prepared.isValidText(instance); iters += 1 }
+      // best of 3 timed windows (steal-robust, same policy as the probe)
+      (1 to 3).map { _ =>
+        val n = math.max(2000, iters)
+        val t0 = System.nanoTime()
+        var k = 0
+        while (k < n) { prepared.isValidText(instance); k += 1 }
+        n / ((System.nanoTime() - t0) / 1e9)
+      }.max
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       timed(name, reps) { fn(spark, sfDir).count(); () }
@@ -307,7 +328,7 @@ object Bench {
       s""""clips_attempts":[${clipsAttempts.mkString(",")}],"entry_host":$eh"""
     val total = results.values.sum
     val nErr = status.values.count(_ != "ok")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f,"recursive_stream_docs_per_sec_1core":$recStreamPerSec%.0f}""")
     spark.stop()
   }
 }
