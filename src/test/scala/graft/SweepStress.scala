@@ -20,10 +20,11 @@ object SweepStress {
       val tw = p.isValidInterp(value)
       val cv = p.isValid(value)
       val canonV = Interp.isValid(Canonical.canonicalize(spec), value)
+      val sv = p.isValidText(JsonValue.render(value)) // streaming lane
       checked += 1
-      if (cv != tw || canonV != tw) {
+      if (cv != tw || canonV != tw || sv != tw) {
         bad += 1
-        println(s"DIVERGENCE: compiled=$cv interp=$tw canon=$canonV " +
+        println(s"DIVERGENCE: compiled=$cv interp=$tw canon=$canonV stream=$sv " +
           s"spec=${JsonValue.render(specJson)} value=${JsonValue.render(value)}")
       }
     }
