@@ -99,8 +99,15 @@ object Main {
         val prepared = Interp.prepare(Spec.parse(doc), assertFormats)
         var anyInvalid = false
         files.foreach { f =>
+          val text = readFile(f)
+          // fused streaming fast path: a VALID verdict needs no tree (a
+          // streaming pass implies the document parses); invalid or
+          // malformed documents fall through to parse + error enumeration
+          if (!listMode && (try prepared.isValidText(text) catch { case _: Exception => false })) {
+            println(s"$f - VALID")
+          } else {
           val inst =
-            try Some(JsonValue.parse(readFile(f)))
+            try Some(JsonValue.parse(text))
             catch { case e: Exception => println(s"$f - INVALID. Errors:\n1. malformed JSON: ${e.getMessage}"); anyInvalid = true; None }
           inst.foreach { iv =>
             val ok = prepared.isValid(iv)
@@ -114,6 +121,7 @@ object Main {
                 println(s"${i + 1}. ${e.message}$at [${e.schemaPath}]")
               }
             }
+          }
           }
         }
         sys.exit(if (anyInvalid) 1 else 0)
