@@ -26,10 +26,13 @@ import scala.collection.mutable.ArrayBuffer
   *    construction.
   *
   * Non-streamable constructs (whole-node materialization): `not`,
-  * `if`/`then`/`else`, `unevaluated*`, `dependent*`, `uniqueItems`,
-  * `contains`, `$dynamicRef`/`$recursiveRef`, trial-loop `anyOf`/`oneOf`
-  * (no type or tag dispatch), container `const`/`enum` members, >64
-  * required keys, any resource-crossing same-value edge.
+  * `if`/`then`/`else`, `unevaluated*`, `dependentSchemas`, `uniqueItems`,
+  * `$dynamicRef`/`$recursiveRef`, trial-loop `anyOf`/`oneOf` (no type or
+  * tag dispatch), container `const`/`enum` members, >64 tracked keys
+  * (required + dependentRequired), any resource-crossing same-value edge.
+  * `dependentRequired` streams via presence bits checked at object end;
+  * `contains`/`minContains`/`maxContains` stream with per-ITEM
+  * materialization for match counting (the node itself stays fused).
   *
   * Failure semantics: a failing check aborts immediately, so malformedness
   * AFTER the deciding token may go unseen (parse-then-validate would throw
@@ -69,10 +72,17 @@ object Streaming {
   private final class FP(val reqBit: Int, val isProp: Boolean,
                          val s: SRef, val d: JsonValue => Boolean)
   private final class PatC(val re: Pattern, val s: SRef, val d: JsonValue => Boolean)
+  /** `depTrig(i)`/`depNeed(i)`: one `dependentRequired` entry as presence
+    * masks — trigger bit set ⇒ all need bits must be set at object end.
+    * FP.reqBit doubles as the presence bit (required keys own
+    * [0, reqCount); dependency-tracked keys sit above). */
   private final class OC(val fields: java.util.HashMap[String, FP], val patterns: Array[PatC],
                          val apS: SRef, val apD: JsonValue => Boolean,
-                         val reqCount: Int, val minP: Long, val maxP: Long) {
+                         val reqCount: Int, val minP: Long, val maxP: Long,
+                         val depTrig: Array[Long] = Array.empty,
+                         val depNeed: Array[Long] = Array.empty) {
     val reqFull: Long = if (reqCount >= 64) -1L else (1L << reqCount) - 1
+    val tracksBits: Boolean = reqCount > 0 || depTrig.length > 0
   }
   /** Tag-dispatched combinator over objects (mirrors Compiled constDispatch).
     * branches(i) == null ⇒ that branch rejects all objects. */
@@ -99,9 +109,15 @@ object Streaming {
   /** delta(i): required-bit contribution of the tag field — [0, nCons0)
     * for the node's own consumers, [nCons0, …) for the branch's. */
   private final class TagHit(val branch: Int, val ok: Boolean, val delta: Array[Long])
+  /** `contD` non-null ⇒ items materialize one at a time and matches are
+    * counted — `contains` is order-independent over the count, so the
+    * node still streams (the array's SIBLING checks and the rest of the
+    * document stay fused; pre-contains the whole NODE materialized). */
   private final class AC(val prefixS: Array[SRef], val prefixD: Array[JsonValue => Boolean],
                          val itemsS: SRef, val itemsD: JsonValue => Boolean,
-                         val minI: Long, val maxI: Long)
+                         val minI: Long, val maxI: Long,
+                         val contD: JsonValue => Boolean = null,
+                         val minC: Long = 1L, val maxC: Long = -1L)
 
   /** Per-node assembled shape: one entry per JSON type atom
     * (null/bool/int/frac/str/arr/obj), mirroring Compiled's typeTag. */
@@ -164,7 +180,7 @@ object Streaming {
     var masks: Array[Long] = null
     var mi = 0
     while (masks == null && mi < cons.length) {
-      if (cons(mi).reqCount > 0) masks = new Array[Long](cons.length)
+      if (cons(mi).tracksBits) masks = new Array[Long](cons.length)
       mi += 1
     }
     var count = 0
@@ -242,11 +258,20 @@ object Streaming {
     true
   }
 
-  private def endObj(cons: Array[OC], masks: Array[Long], count: Int): Boolean = {
+  private def endObj(cons: Array[OC], masks: Array[Long], count: Int,
+                     n: Int = -1): Boolean = {
+    val end = if (n < 0) cons.length else n
     var ci = 0
-    while (ci < cons.length) {
+    while (ci < end) {
       val oc = cons(ci)
-      if (oc.reqCount > 0 && masks(ci) != oc.reqFull) return false
+      if (oc.reqCount > 0 && (masks(ci) & oc.reqFull) != oc.reqFull) return false
+      var di = 0
+      while (di < oc.depTrig.length) {
+        val m = masks(ci)
+        if ((m & oc.depTrig(di)) != 0 && (m & oc.depNeed(di)) != oc.depNeed(di))
+          return false
+        di += 1
+      }
       if (oc.minP >= 0 && count < oc.minP) return false
       if (oc.maxP >= 0 && count > oc.maxP) return false
       ci += 1
@@ -452,15 +477,7 @@ object Streaming {
       }
     }
     if (undecided > 0) return false // dispatch key absent ⇒ no branch selected
-    var ci = 0
-    while (ci < nCons) {
-      val oc = cons(ci)
-      if (oc.reqCount > 0 && masks(ci) != oc.reqFull) return false
-      if (oc.minP >= 0 && count < oc.minP) return false
-      if (oc.maxP >= 0 && count > oc.maxP) return false
-      ci += 1
-    }
-    true
+    endObj(cons, masks, count, nCons)
   }
 
   // ---- array pass -----------------------------------------------------------
@@ -469,29 +486,47 @@ object Streaming {
     cur.bump() // '['
     cur.ws()
     var count = 0
+    var hasCont = false
+    var hi = 0
+    while (hi < acs.length) { hasCont ||= acs(hi).contD != null; hi += 1 }
+    var contCounts: Array[Int] = if (hasCont) new Array[Int](acs.length) else null
     if (cur.peek == ']') cur.bump()
     else {
       var done = false
       while (!done) {
-        var nChecks = 0
-        var theS: SRef = null
-        var ai = 0
-        while (ai < acs.length) {
-          val ac = acs(ai)
-          val s = if (count < ac.prefixS.length) ac.prefixS(count) else ac.itemsS
-          if (s != null) { nChecks += 1; theS = s }
-          ai += 1
-        }
-        if (nChecks == 0) cur.skipValue()
-        else if (nChecks == 1) { if (!theS.f(cur)) return false }
-        else {
+        if (hasCont) {
+          // contains demands the item VALUE for counting: materialize this
+          // item (not the node) and run every check tree-side
           val v = cur.readTree()
-          ai = 0
+          var ai = 0
           while (ai < acs.length) {
             val ac = acs(ai)
             val d = if (count < ac.prefixD.length) ac.prefixD(count) else ac.itemsD
             if (d != null && !d(v)) return false
+            if (ac.contD != null && ac.contD(v)) contCounts(ai) += 1
             ai += 1
+          }
+        } else {
+          var nChecks = 0
+          var theS: SRef = null
+          var ai = 0
+          while (ai < acs.length) {
+            val ac = acs(ai)
+            val s = if (count < ac.prefixS.length) ac.prefixS(count) else ac.itemsS
+            if (s != null) { nChecks += 1; theS = s }
+            ai += 1
+          }
+          if (nChecks == 0) cur.skipValue()
+          else if (nChecks == 1) { if (!theS.f(cur)) return false }
+          else {
+            val v = cur.readTree()
+            ai = 0
+            while (ai < acs.length) {
+              val ac = acs(ai)
+              val d = if (count < ac.prefixD.length) ac.prefixD(count) else ac.itemsD
+              if (d != null && !d(v)) return false
+              ai += 1
+            }
           }
         }
         count += 1
@@ -508,6 +543,11 @@ object Streaming {
       val ac = acs(ai)
       if (ac.minI >= 0 && count < ac.minI) return false
       if (ac.maxI >= 0 && count > ac.maxI) return false
+      if (ac.contD != null) {
+        val n = contCounts(ai)
+        if (n < ac.minC) return false
+        if (ac.maxC >= 0 && n > ac.maxC) return false
+      }
       ai += 1
     }
     true
@@ -661,8 +701,7 @@ object Streaming {
       if (budget < 0) throw Unstreamable
       if (o.not.nonEmpty || o.ifSpec.nonEmpty ||
           o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
-          o.dependentRequired.nonEmpty || o.dependentSchemas.nonEmpty ||
-          o.uniqueItems || o.contains.nonEmpty ||
+          o.dependentSchemas.nonEmpty || o.uniqueItems ||
           o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty)
         throw Unstreamable
       val oRes = registry.resourceOf(o)
@@ -762,19 +801,26 @@ object Streaming {
       // ---- object keywords --------------------------------------------------
       if (o.properties.nonEmpty || o.required.nonEmpty ||
           o.additionalProperties.nonEmpty || o.patternProperties.nonEmpty ||
-          o.minProperties.nonEmpty || o.maxProperties.nonEmpty) {
+          o.minProperties.nonEmpty || o.maxProperties.nonEmpty ||
+          o.dependentRequired.nonEmpty) {
         val reqKeys = o.required.distinct
-        if (reqKeys.length > 64) throw Unstreamable
-        val reqIdx = reqKeys.zipWithIndex.toMap
-        val fields = new java.util.HashMap[String, FP]((o.properties.length + reqKeys.length) * 2)
+        // presence bits: required keys own [0, reqCount); keys a
+        // dependentRequired entry watches (trigger or dependent) sit above
+        val depKeys = o.dependentRequired
+          .flatMap { case (k, ds) => k +: ds }.distinct
+          .filterNot(reqKeys.contains)
+        if (reqKeys.length + depKeys.length > 64) throw Unstreamable
+        val bitIdx = (reqKeys ++ depKeys).zipWithIndex.toMap
+        val fields = new java.util.HashMap[String, FP](
+          (o.properties.length + bitIdx.size) * 2)
         o.properties.foreach { case (k, subSpec) =>
           val (s, d) = childS(subSpec)
           fields.put(JsonValue.FieldIntern.intern(k),
-            new FP(reqIdx.getOrElse(k, -1), true, s, d))
+            new FP(bitIdx.getOrElse(k, -1), true, s, d))
         }
-        reqKeys.foreach { k =>
+        bitIdx.keysIterator.foreach { k =>
           if (!fields.containsKey(k))
-            fields.put(JsonValue.FieldIntern.intern(k), new FP(reqIdx(k), false, null, null))
+            fields.put(JsonValue.FieldIntern.intern(k), new FP(bitIdx(k), false, null, null))
         }
         val pats = o.patternProperties.map { case (p, subSpec) =>
           val (s, d) = childS(subSpec)
@@ -784,8 +830,12 @@ object Streaming {
           case Some(ap) => childS(ap)
           case None     => (null: SRef, null: JsonValue => Boolean)
         }
+        val depTrig = o.dependentRequired.map { case (k, _) => 1L << bitIdx(k) }.toArray
+        val depNeed = o.dependentRequired.map { case (_, ds) =>
+          ds.foldLeft(0L)((m, d) => m | (1L << bitIdx(d))) }.toArray
         acc.cons += new OC(fields, pats, apS, apD, reqKeys.length,
-          o.minProperties.getOrElse(-1L), o.maxProperties.getOrElse(-1L))
+          o.minProperties.getOrElse(-1L), o.maxProperties.getOrElse(-1L),
+          depTrig, depNeed)
       }
       o.propertyNames.foreach {
         case Spec.Accept => ()
@@ -796,15 +846,20 @@ object Streaming {
       }
 
       // ---- array keywords ---------------------------------------------------
+      // a contains with minContains 0 and no maxContains constrains nothing
+      val liveContains = o.contains.filter(_ =>
+        o.minContains.forall(_ > 0) || o.maxContains.nonEmpty)
       if (o.items.nonEmpty || o.prefixItems.nonEmpty ||
-          o.minItems.nonEmpty || o.maxItems.nonEmpty) {
+          o.minItems.nonEmpty || o.maxItems.nonEmpty || liveContains.nonEmpty) {
         val pre = o.prefixItems.map(childS)
         val (itS, itD) = o.items match {
           case Some(it) => childS(it)
           case None     => (null: SRef, null: JsonValue => Boolean)
         }
+        val contD = liveContains.map(c => twinEntry(c)).orNull
         acc.acs += new AC(pre.map(_._1).toArray, pre.map(_._2).toArray, itS, itD,
-          o.minItems.getOrElse(-1L), o.maxItems.getOrElse(-1L))
+          o.minItems.getOrElse(-1L), o.maxItems.getOrElse(-1L),
+          contD, o.minContains.getOrElse(1L), o.maxContains.getOrElse(-1L))
       }
 
       // ---- combinators: dispatch or bust -------------------------------------

@@ -139,6 +139,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed dependentRequired (presence bits) and contains (per-item counting)") {
+    val p = prep(
+      """{
+        "type": "object",
+        "properties": {"card": {"type": "string"}, "cvv": {"type": "string"},
+                       "zip": {"type": "string"},
+                       "tags": {"type": "array", "items": {"type": "string"},
+                                "contains": {"pattern": "^x"}, "minContains": 1, "maxContains": 2}},
+        "required": ["card"],
+        "dependentRequired": {"cvv": ["zip", "card"], "card": []}
+      }""")
+    val cases = Seq(
+      """{"card": "c"}"""                                   -> true,
+      """{"card": "c", "cvv": "1"}"""                       -> false, // cvv needs zip
+      """{"card": "c", "cvv": "1", "zip": "z"}"""           -> true,
+      """{"cvv": "1", "zip": "z"}"""                        -> false, // required card
+      """{"zip": "z", "cvv": "1", "card": "c"}"""           -> true,  // order independent
+      """{"card": "c", "tags": ["xa"]}"""                   -> true,
+      """{"card": "c", "tags": ["a"]}"""                    -> false, // minContains
+      """{"card": "c", "tags": ["xa", "xb", "xc"]}"""       -> false, // maxContains
+      """{"card": "c", "tags": ["xa", "b", "xc"]}"""        -> true,
+      """{"card": "c", "tags": ["xa", 1]}"""                -> false  // items type beside contains
+    )
+    cases.foreach { case (doc, want) =>
+      assert(p.isValidText(doc) == want, s"text: $doc")
+      assert(p.isValid(JsonValue.parse(doc)) == want, s"tree: $doc")
+    }
+  }
+
   test("materialized fallbacks: not / if-then-else / uniqueItems / contains nodes") {
     val p = prep(
       """{
