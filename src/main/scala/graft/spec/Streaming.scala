@@ -26,13 +26,14 @@ import scala.collection.mutable.ArrayBuffer
   *    construction.
   *
   * Non-streamable constructs (whole-node materialization): `not`,
-  * `if`/`then`/`else`, `unevaluated*`, `dependentSchemas`, `uniqueItems`,
+  * `if`/`then`/`else`, `unevaluated*`, `dependentSchemas`,
   * `$dynamicRef`/`$recursiveRef`, trial-loop `anyOf`/`oneOf` (no type or
   * tag dispatch), container `const`/`enum` members, >64 tracked keys
   * (required + dependentRequired), any resource-crossing same-value edge.
   * `dependentRequired` streams via presence bits checked at object end;
-  * `contains`/`minContains`/`maxContains` stream with per-ITEM
-  * materialization for match counting (the node itself stays fused).
+  * `contains`/`minContains`/`maxContains`/`uniqueItems` stream with
+  * per-ITEM materialization (match counting / math-equality
+  * distinctness — the node itself stays fused).
   *
   * Failure semantics: a failing check aborts immediately, so malformedness
   * AFTER the deciding token may go unseen (parse-then-validate would throw
@@ -117,7 +118,8 @@ object Streaming {
                          val itemsS: SRef, val itemsD: JsonValue => Boolean,
                          val minI: Long, val maxI: Long,
                          val contD: JsonValue => Boolean = null,
-                         val minC: Long = 1L, val maxC: Long = -1L)
+                         val minC: Long = 1L, val maxC: Long = -1L,
+                         val uniq: Boolean = false)
 
   /** Per-node assembled shape: one entry per JSON type atom
     * (null/bool/int/frac/str/arr/obj), mirroring Compiled's typeTag. */
@@ -486,18 +488,30 @@ object Streaming {
     cur.bump() // '['
     cur.ws()
     var count = 0
-    var hasCont = false
+    var hasMat = false
+    var anyUniq = false
     var hi = 0
-    while (hi < acs.length) { hasCont ||= acs(hi).contD != null; hi += 1 }
-    var contCounts: Array[Int] = if (hasCont) new Array[Int](acs.length) else null
+    while (hi < acs.length) {
+      hasMat ||= acs(hi).contD != null || acs(hi).uniq
+      anyUniq ||= acs(hi).uniq
+      hi += 1
+    }
+    var contCounts: Array[Int] = if (hasMat) new Array[Int](acs.length) else null
+    val seen: ArrayBuffer[JsonValue] = if (anyUniq) new ArrayBuffer[JsonValue](8) else null
     if (cur.peek == ']') cur.bump()
     else {
       var done = false
       while (!done) {
-        if (hasCont) {
-          // contains demands the item VALUE for counting: materialize this
-          // item (not the node) and run every check tree-side
+        if (hasMat) {
+          // contains/uniqueItems demand the item VALUE (match counting /
+          // math-equality distinctness): materialize this item — not the
+          // node — and run every check tree-side
           val v = cur.readTree()
+          if (anyUniq) {
+            var si = 0
+            while (si < seen.length) { if (JsonValue.equal(seen(si), v)) return false; si += 1 }
+            seen += v
+          }
           var ai = 0
           while (ai < acs.length) {
             val ac = acs(ai)
@@ -701,7 +715,7 @@ object Streaming {
       if (budget < 0) throw Unstreamable
       if (o.not.nonEmpty || o.ifSpec.nonEmpty ||
           o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
-          o.dependentSchemas.nonEmpty || o.uniqueItems ||
+          o.dependentSchemas.nonEmpty ||
           o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty)
         throw Unstreamable
       val oRes = registry.resourceOf(o)
@@ -850,7 +864,8 @@ object Streaming {
       val liveContains = o.contains.filter(_ =>
         o.minContains.forall(_ > 0) || o.maxContains.nonEmpty)
       if (o.items.nonEmpty || o.prefixItems.nonEmpty ||
-          o.minItems.nonEmpty || o.maxItems.nonEmpty || liveContains.nonEmpty) {
+          o.minItems.nonEmpty || o.maxItems.nonEmpty || liveContains.nonEmpty ||
+          o.uniqueItems) {
         val pre = o.prefixItems.map(childS)
         val (itS, itD) = o.items match {
           case Some(it) => childS(it)
@@ -859,7 +874,8 @@ object Streaming {
         val contD = liveContains.map(c => twinEntry(c)).orNull
         acc.acs += new AC(pre.map(_._1).toArray, pre.map(_._2).toArray, itS, itD,
           o.minItems.getOrElse(-1L), o.maxItems.getOrElse(-1L),
-          contD, o.minContains.getOrElse(1L), o.maxContains.getOrElse(-1L))
+          contD, o.minContains.getOrElse(1L), o.maxContains.getOrElse(-1L),
+          o.uniqueItems)
       }
 
       // ---- combinators: dispatch or bust -------------------------------------
