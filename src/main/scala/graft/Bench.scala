@@ -102,25 +102,31 @@ object Bench {
     val df = spark.read.parquet(path)
       .withColumn("_cohort", crc32(col("clip_id")) % 2)
     val base = df.where(col("_cohort") === 0)
-    val cur = df.where(col("_cohort") === 1)
     // the BASELINE snapshot defines the bucket grid (its observed range,
-    // one extra min/max agg) — both cohorts histogram on the same fixed
-    // buckets, so the comparison stays exact at any table distribution
+    // one min/max agg over the base cohort) — both cohorts histogram on
+    // the same fixed buckets, so the comparison stays exact at any table
+    // distribution. Three table scans total: grid, then ONE scan per
+    // column covering both cohorts (histogramBy groups on the cohort).
     val r = base.agg(
       min(col("dur_ms")).cast("double"), max(col("dur_ms")).cast("double"),
       min(col("sr_hz")).cast("double"), max(col("sr_hz")).cast("double")).collect()(0)
     val (durLo, durHi) = (r.getDouble(0), r.getDouble(1) + 1)
     val (srLo, srHi) = (r.getDouble(2), r.getDouble(3) + 1)
-    def snapshot(c: String, lo: Double, hi: Double, b: Int): Map[Long, Long] =
-      TableChecks.histogram(base, c, lo, hi, b).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dur = TableChecks.driftCheck(cur, "dur_ms", durLo, durHi, 20,
-      snapshot("dur_ms", durLo, durHi, 20), psiMax = 0.1)
-    val sr = TableChecks.driftCheck(cur, "sr_hz", srLo, srHi, 16,
-      snapshot("sr_hz", srLo, srHi, 16), psiMax = 0.1)
-    require(dur.pass && sr.pass,
-      f"clips drift check failed: psi dur_ms=${dur.psi}%.4f sr_hz=${sr.psi}%.4f")
-    (dur.psi, sr.psi)
+    def cohorts(c: String, lo: Double, hi: Double, b: Int): (Map[Long, Long], Map[Long, Long]) = {
+      val rows = TableChecks.histogramBy(df, c, lo, hi, b, "_cohort").collect()
+      def side(g: Long) = rows.filter(_.getLong(1) == g)
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      (side(0L), side(1L))
+    }
+    def psiKs(c: String, lo: Double, hi: Double, b: Int): (Double, Double) = {
+      val (baseH, curH) = cohorts(c, lo, hi, b)
+      (TableChecks.psi(curH, baseH), TableChecks.ks(curH, baseH))
+    }
+    val (durPsi, _) = psiKs("dur_ms", durLo, durHi, 20)
+    val (srPsi, _) = psiKs("sr_hz", srLo, srHi, 16)
+    require(durPsi <= 0.1 && srPsi <= 0.1,
+      f"clips drift check failed: psi dur_ms=$durPsi%.4f sr_hz=$srPsi%.4f")
+    (durPsi, srPsi)
   }
 
   /** The reference's headline "Recursive" benchmark mirrored at table
