@@ -92,4 +92,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p)
     assert(!p.toLowerCase.contains("lambdafunction"), p) // no interpreted HOFs
   }
+
+  test("cohort histogram (drift input): one scan, partial aggregation, O(buckets) result") {
+    val q = TableChecks.histogramBy(
+      orders.withColumn("_cohort", crc32(col("o_orderkey").cast("string")) % 2),
+      "o_totalprice", 0, 600000, 24, "_cohort")
+    val plan = q.queryExecution.executedPlan.toString
+    // one parquet scan feeding a two-phase (partial + final) aggregate —
+    // the drift comparison itself is O(buckets) on the driver
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_"), plan)
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val readCols = readSchema.split(",").map(_.split(":")(0).trim).toSet
+    assert(readCols == Set("o_orderkey", "o_totalprice"), readSchema)
+  }
 }
