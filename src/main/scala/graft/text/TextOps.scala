@@ -156,6 +156,73 @@ object TextOps {
   def lshBands(signature: Column, rowsPerBand: Int): Column =
     graft.functions.vecexprs.lsh_band_keys(signature, rowsPerBand)
 
+  /** Candidate-volume contract shared by the banded dedup operators (the
+    * `Ann.lshCandidatePairs` pattern, VERDICT_r04 #1/#2): at most `cap`
+    * rows survive per bucket (the grouping of `keyCols`), so the bucket
+    * self-join is hard-bounded by nBuckets · cap·(cap-1)/2 under ANY input
+    * skew. Survivor rank is salted by the full bucket key, so a row
+    * dropped from one over-full bucket still competes in its other
+    * band/chunk buckets — recall decays gracefully. Drops are counted and
+    * logged — no silent caps. `cap <= 0` switches the contract off with a
+    * loud warning (exact small-scale runs only). */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int,
+                         seed: Long, what: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (cap <= 0) {
+      System.err.println(s"[graft] $what: per-bucket candidate cap is OFF — an over-full " +
+        "bucket makes the self-join quadratic in its size; set a finite maxBucketSize " +
+        "for corpus-scale runs")
+      banded
+    } else {
+      val over = banded.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > cap)
+        .agg(coalesce(sum(col("count") - cap), lit(0L)).as("d"), count(lit(1)).as("nb"))
+        .collect()(0)
+      if (over.getLong(0) > 0)
+        System.err.println(s"[graft] $what: per-bucket cap $cap binding — dropped " +
+          s"${over.getLong(0)} row-bucket assignments across ${over.getLong(1)} over-full " +
+          "buckets from candidate generation (recall becomes approximate for rows " +
+          "sharing only over-full buckets)")
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(xxhash64(col("id") +: keyCols.map(col) :+ lit(seed): _*))
+      banded.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= cap).drop("_rk")
+    }
+  }
+
+  /** Re-expand representative near-dup pairs to member pairs after an
+    * exact-fingerprint pre-collapse. `members` = (id, fp) for every input
+    * row; `groups` = (fp, rep) for groups that entered candidate
+    * generation. The carried value (jaccard / hamming) is EXACT for member
+    * pairs because members share the representative's normalized text.
+    *
+    * `expand = true` reproduces the uncollapsed operator's output verbatim
+    * (within-group pairs get `selfValue` — jaccard 1.0 / hamming 0; an
+    * m-clique still costs O(m²) OUTPUT rows, but zero verify work).
+    * `expand = false` is the corpus-scale form: representative pairs plus
+    * member→representative star edges — O(m) per clique, identical
+    * connected components. */
+  private def expandDupPairs(repPairs: DataFrame, members: DataFrame,
+                             groups: DataFrame, valueCol: String,
+                             selfValue: Column, expand: Boolean): DataFrame = {
+    val mem = members.join(groups, "fp")
+    if (expand) {
+      val cross = repPairs
+        .join(mem.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
+        .join(mem.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col(valueCol))
+      val a = mem.alias("a"); val b = mem.alias("b")
+      val within = a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), selfValue.as(valueCol))
+      cross.unionByName(within)
+    } else {
+      val stars = mem.where(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"), selfValue.as(valueCol))
+      repPairs.unionByName(stars)
+    }
+  }
+
   /** Eagerly materialize `result`, then release `cached`. Dedup operators
     * persist an intermediate (shingled docs) as a materialization boundary;
     * localCheckpoint(eager) computes the final — much smaller — result into
@@ -169,33 +236,62 @@ object TextOps {
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
     * Jaccard over shingle sets. The self-join is per (band, band_hash)
     * bucket — shuffle on the band hash, never a full cross join. Returns
-    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold. */
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    *
+    * 100-TB posture (VERDICT_r04 #1): identical normalized text ⇒
+    * identical shingle set ⇒ identical signature, so an m-copy boilerplate
+    * cluster (routine in web corpora) would land m rows in EVERY one of
+    * its band buckets and cost m²/2 verified candidates. Two defenses:
+    * (a) exact-fingerprint PRE-COLLAPSE — band one representative per
+    * md5(normalized text) group (md5, not a 64-bit hash: 10^12 rows make
+    * 64-bit collisions routine), re-expand verified pairs afterwards with
+    * exact carried jaccard; (b) a per-(band,bucket) candidate cap with
+    * band-salted survivor rank + logged drops, bounding join work by
+    * nBuckets·cap²/2 under ANY residual skew (near-identical docs that
+    * differ before normalization). `expandDups = false` returns the
+    * corpus-scale star form: representative pairs + member→rep edges
+    * (jaccard 1.0), O(m) output per clique, identical connected
+    * components. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+                      threshold: Double = 0.7, seed: Long = 42L,
+                      maxBucketSize: Int = 1024,
+                      expandDups: Boolean = true): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      fingerprint(col(textCol)).as("fp"))
+    // members is narrow (id, fp) — the only thing the expansion keeps
+    val members = keyed.select("id", "fp").persist()
+    val reps = keyed.groupBy("fp")
+      .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"))
     // persist = a materialization boundary: without it Catalyst inlines
     // the whole shingle pipeline into the post-join jaccard filter and
     // every candidate pair recomputes it
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val docs = reps.select(col("fp"), col("id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
     // candidate generation shuffles only (id, band, band_hash) — the fat
     // shingle arrays are joined back ONLY for the deduped candidates
     val banded = docs
       .select(col("id"), explode(lshBands(minhashSignature(col("sh"), k, seed), rowsPerBand)).as("band_key"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val capped = capBuckets(banded, Seq("band_key"), maxBucketSize, seed, "minhashNearDups")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     val pairs = a.join(b,
         col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val da = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val db = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val verified = pairs.join(da, "id_a").join(db, "id_b")
+    val repPairs = pairs.join(da, "id_a").join(db, "id_b")
       .withColumn("jaccard", graft.functions.vecexprs.jaccard_sim(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    materializeAndRelease(verified, docs)
+    // groups that entered banding (empty-shingle groups emit no pairs,
+    // exactly as the uncollapsed operator filtered those docs out)
+    val groups = docs.select(col("fp"), col("id").as("rep"))
+    val out = expandDupPairs(repPairs, members, groups, "jaccard",
+      lit(1.0), expandDups)
+    materializeAndRelease(out, members, docs)
   }
 
   /** Exact n-gram Jaccard similarity between all pairs sharing at least
@@ -279,16 +375,34 @@ object TextOps {
     * with possible misses. Pick nChunks >= maxHamming + 1 for guaranteed
     * recall (smaller chunks ⇒ more candidate pairs — the classic
     * precision/cost trade). A warning is logged when the requested
-    * maxHamming exceeds the guarantee. */
+    * maxHamming exceeds the guarantee.
+    *
+    * 100-TB posture (VERDICT_r04 #2): with nChunks=4 each chunk key has
+    * only 2^16 values, so a 10^9-row corpus averages ~15k rows per
+    * (chunk, ck) bucket even WITHOUT true duplicates — quadratic without a
+    * bound. Defenses mirror `minhashNearDups`: exact-fingerprint
+    * pre-collapse (identical normalized text ⇒ identical simhash; the cap
+    * then never charges a clique more than one slot) and a per-(chunk,ck)
+    * candidate cap with salted survivor rank + logged drops. NOTE: a
+    * binding cap trades the pigeonhole FULL-recall guarantee for a hard
+    * work bound — the drop log is the signal to raise nChunks (narrower
+    * chunks ⇒ 2^(64/n) keyspace growth) or the cap. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, nChunks: Int = 4): DataFrame = {
+                      maxHamming: Int = 3, nChunks: Int = 4,
+                      maxBucketSize: Int = 1024, seed: Long = 42L,
+                      expandDups: Boolean = true): DataFrame = {
     require(nChunks >= 1 && nChunks <= 64)
     if (maxHamming > nChunks - 1)
       System.err.println(s"[graft] simhashNearDups: maxHamming=$maxHamming exceeds the " +
         s"pigeonhole guarantee of nChunks-1=${nChunks - 1}; recall is heuristic above that")
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      fingerprint(col(textCol)).as("fp"))
+    val members = keyed.select("id", "fp").persist()
+    val reps = keyed.groupBy("fp")
+      .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"))
     // materialize: keeps the tokenize+simhash pipeline out of the
     // per-candidate-pair hamming filter (see minhashNearDups)
-    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h")).persist()
+    val withH = reps.select(col("fp"), col("id"), simhash(col("text")).as("h")).persist()
     // nearly-equal bit ranges [i*64/n, (i+1)*64/n)
     val ranges = (0 until nChunks).map { i =>
       val lo = i * 64 / nChunks; val hi = (i + 1) * 64 / nChunks
@@ -301,13 +415,17 @@ object TextOps {
           shiftright(col("h"), lo).bitwiseAND(mask).as("ck"))
       }: _*)).as("c"))
       .select(col("id"), col("h"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-    val a = chunks.alias("a"); val b = chunks.alias("b")
-    val out = a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+    val capped = capBuckets(chunks, Seq("chunk", "ck"), maxBucketSize, seed, "simhashNearDups")
+    val a = capped.alias("a"); val b = capped.alias("b")
+    val repPairs = a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.h"), col("b.h")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
-    materializeAndRelease(out, withH)
+    val groups = withH.select(col("fp"), col("id").as("rep"))
+    val out = expandDupPairs(repPairs, members, groups, "hamming",
+      lit(0), expandDups)
+    materializeAndRelease(out, members, withH)
   }
 }

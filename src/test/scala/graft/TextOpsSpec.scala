@@ -115,6 +115,62 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("minhash adversarial: 10k identical docs cost O(m) via pre-collapse (star form)") {
+    // the r04-verdict scale-killer: an m-copy boilerplate cluster shares
+    // ALL band keys, so the uncollapsed banded self-join generates m²/2
+    // candidates (5·10^7 here — this test would not finish). With exact-
+    // fingerprint pre-collapse the cluster costs one banding row and the
+    // star form emits exactly m-1 member→rep edges.
+    val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 10000L).map(i => Doc(i, boiler)) :+ Doc(20000L, "totally different text here " + (1 to 27).map(i => s"z$i").mkString(" "))
+    val out = TextOps.minhashNearDups(docs.toDF(), "id", "text",
+      n = 3, k = 64, rowsPerBand = 4, threshold = 0.5, expandDups = false).collect()
+    assert(out.length == 9999)
+    assert(out.forall(r => r.getLong(0) == 1L && r.getDouble(2) == 1.0))
+    assert(out.map(_.getLong(1)).toSet == (2L to 10000L).toSet)
+  }
+
+  test("minhash expansion reproduces uncollapsed semantics exactly (values carry over)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val far = (100 to 130).map(i => s"v$i").mkString(" ")
+    // 5-copy clique of `base` (ids 1-5), one near doc (6), one far (7)
+    val df = ((1L to 5L).map(i => Doc(i, base)) ++ Seq(Doc(6L, near), Doc(7L, far))).toDF()
+    val out = TextOps.minhashNearDups(df, "id", "text", n = 3, k = 64,
+      rowsPerBand = 4, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // within-clique: all 10 pairs at jaccard 1.0
+    val within = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    assert(within.forall(p => out.get(p).contains(1.0)))
+    // cross: every clique member pairs with the near doc at the SAME jaccard
+    val crossJ = (1L to 5L).map(a => out((a, 6L))).distinct
+    assert(crossJ.length == 1 && crossJ.head > 0.8)
+    assert(out.size == within.size + 5) // far doc contributes nothing
+    // a heavily binding bucket cap cannot break exactness here: the clique
+    // occupies ONE slot per bucket post-collapse (only 3 distinct groups)
+    val capped = TextOps.minhashNearDups(df, "id", "text", n = 3, k = 64,
+      rowsPerBand = 4, threshold = 0.5, maxBucketSize = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == out)
+  }
+
+  test("simhash adversarial: identical-doc clique bypasses banding; cap=1 stays exact") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = ((1L to 100L).map(i => Doc(i, base)) :+ Doc(200L, far)).toDF()
+    // cap=1 strangles candidate generation completely — yet all 4950
+    // within-clique pairs survive because they flow through expansion,
+    // never through the banded join
+    val out = TextOps.simhashNearDups(df, "id", "text", maxHamming = 3,
+      nChunks = 4, maxBucketSize = 1).collect()
+    assert(out.length == 4950)
+    assert(out.forall(_.getInt(2) == 0))
+    // star form: 99 member→rep edges
+    val stars = TextOps.simhashNearDups(df, "id", "text", maxHamming = 3,
+      nChunks = 4, expandDups = false).collect()
+    assert(stars.length == 99 && stars.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
+  }
+
   test("langId picks marker language; und without markers") {
     val df = Seq(
       Doc(1, "the cat and the dog was in that house"),
