@@ -342,7 +342,19 @@ object Bench {
       s""""clips_attempts":[${clipsAttempts.mkString(",")}],"entry_host":$eh"""
     val total = results.values.sum
     val nErr = status.values.count(_ != "ok")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f,"recursive_stream_docs_per_sec_1core":$recStreamPerSec%.0f}""")
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f,"recursive_stream_docs_per_sec_1core":$recStreamPerSec%.0f}"""
+    println(record)
+    // tail-proof copy (VERDICT_r04 "What's wrong" #4): the driver captured
+    // only the last 2,000 stdout chars of the r04 record and the per-query
+    // timings fell out of the committed artifact — the canonical record
+    // also lands in a file.
+    try {
+      val dir = java.nio.file.Paths.get("/tmp/graft_bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("bench.json"), record + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write /tmp/graft_bench/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -45,17 +45,26 @@ final case class JObj(fields: Vector[(String, JsonValue)]) extends JsonValue {
       None
     } else toMap.get(key)
   }
+  // first-occurrence-wins hash map (reverse insertion ⇒ earlier fields
+  // overwrite later ones) for wide objects; built once per JObj on first
+  // >8-field lookup
+  private lazy val firstMap: Map[String, JsonValue] = fields.reverseIterator.toMap
   /** Allocation-free lookup for validator hot paths (no Some per hit).
     * Always the FIRST occurrence under duplicate keys — the dispatch
     * kernels (Compiled tag dispatch, Streaming) rely on one consistent
-    * rule regardless of object size. */
+    * rule regardless of object size. Linear for the small objects that
+    * dominate real documents, hashed above 8 fields (Compiled's const
+    * dispatch calls this once per object per row — wide objects must not
+    * regress to O(fields)). */
   def getOrNull(key: String): JsonValue = {
-    var i = 0
-    while (i < fields.length) {
-      if (fields(i)._1 == key) return fields(i)._2
-      i += 1
-    }
-    null
+    if (fields.length <= 8) {
+      var i = 0
+      while (i < fields.length) {
+        if (fields(i)._1 == key) return fields(i)._2
+        i += 1
+      }
+      null
+    } else firstMap.getOrElse(key, null)
   }
   def has(key: String): Boolean = {
     if (fields.length <= 8) {

@@ -47,9 +47,6 @@ object Streaming {
     override def fillInStackTrace(): Throwable = this
   }
 
-  /** Temporary dispatch-path diagnostics (GRAFT_STREAM_DEBUG). */
-  val DBG: Array[Long] =
-    if (System.getenv("GRAFT_STREAM_DEBUG") != null) new Array[Long](8) else null
 
   /** Compiled streaming validator for `entry`; None when the tree-side
     * twin compiler exceeds its budget (caller falls back to parse+walk). */
@@ -379,20 +376,6 @@ object Streaming {
           cur.ws()
           var handled = false
           var preRead: JsonValue = null // consumed by the fast path, table miss
-          if (DBG != null) {
-            DBG(0) += 1
-            if (undecided != 1) DBG(1) += 1
-            else if (bufK != null) DBG(2) += 1
-            else if (nCons != cons0.length) DBG(3) += 1
-            else if (cur.peek != '"') DBG(4) += 1
-            else {
-              var dj = 0
-              while (dj < pending.length && (pending(dj) == null || pending(dj).key != key)) dj += 1
-              if (dj >= pending.length) DBG(5) += 1
-              else if (pending(dj).fastTag == null) DBG(6) += 1
-              else DBG(7) += 1
-            }
-          }
           if (undecided == 1 && bufK == null && nCons == cons0.length &&
               cur.peek == '"') {
             var di = 0
@@ -632,9 +615,6 @@ object Streaming {
           assemble(acc)
         } catch {
           case Unstreamable =>
-            if (System.getenv("GRAFT_STREAM_DEBUG") != null)
-              System.err.println("[stream-debug] materialize node: " +
-                o.toString.replaceAll("(?:None|Vector\\(\\)|Map\\(\\)|false),?\\s*", "").take(300))
             val d = twinEntry(o)
             c => d(c.readTree())
         }

@@ -27,6 +27,21 @@ class StreamingSpec extends AnyFunSuite {
       ]
     }"""
 
+  test("JObj.getOrNull: first occurrence wins at both the linear and hashed sizes") {
+    // the hashed >8-field path must keep the same first-wins rule the
+    // dispatch kernels rely on (ADVICE r04: the hash path was lost and
+    // wide-object const dispatch regressed to O(fields))
+    def obj(n: Int) = JObj(
+      (1 to n).map(i => s"k$i" -> (JStr(s"v$i"): JsonValue)).toVector
+        ++ Vector("dup" -> (JStr("first"): JsonValue), "dup" -> (JStr("second"): JsonValue)))
+    for (n <- Seq(2, 20)) {
+      val o = obj(n)
+      assert(o.getOrNull("dup") == JStr("first"), s"n=$n")
+      assert(o.getOrNull("k1") == JStr("v1"))
+      assert(o.getOrNull("nope") == null)
+    }
+  }
+
   test("tag dispatch: key first, key last, absent, unknown, duplicate, wrong branch fields") {
     val p = prep(tagUnion)
     val cases = Seq(
