@@ -71,10 +71,19 @@ object Canonical {
       refs.clear()
       collect(cur.copy(defs = Map.empty))
       cur.defs.values.foreach(collect)
-      val kept = cur.defs.filter { case (name, _) =>
-        val ptr = "#/$defs/" + name.replace("~", "~0").replace("/", "~1")
-        refs.exists(r => r == ptr || r.startsWith(ptr + "/"))
-      }
+      // decode each ref the way Registry resolves it (percent-decode the
+      // fragment, RFC 6901 unescape the segments); both defs-map spellings
+      // (#/$defs/x and draft-7 #/definitions/x) reach the unified map
+      val referencedNames: Set[String] = refs.iterator.flatMap { r =>
+        val (uri, frag) = Registry.splitFragment(r)
+        if (uri.nonEmpty || !frag.startsWith("/")) None
+        else frag.split("/", -1).toList.drop(1)
+          .map(_.replace("~1", "/").replace("~0", "~")) match {
+            case ("$defs" | "definitions") :: name :: _ => Some(name)
+            case _ => None
+          }
+      }.toSet
+      val kept = cur.defs.filter { case (name, _) => referencedNames(name) }
       changed = kept.size != cur.defs.size
       cur = cur.copy(defs = kept)
     }
@@ -110,6 +119,9 @@ object Canonical {
       case Spec.Reject => false
       case o: Spec.Obj => sat.containsKey(o)
     }
+    // DFS-visit budget: optimistic (non-empty) on exhaustion — emptiness
+    // may only be claimed from a completed analysis
+    var visitBudget = 100000
     // transitively required keys (dependentRequired chains from required)
     def requiredClosure(o: Spec.Obj): Set[String] = {
       var cur = o.required.toSet
@@ -135,13 +147,28 @@ object Canonical {
         else Vector.empty
       fromProps ++ fromPats ++ extra
     }
-    def nodeSat(o: Spec.Obj): Boolean = {
-      val refOk = o.ref.forall(r => resolve(r).forall(isSat))
-      val allOk = o.allOf.forall(isSat)
-      val anyOk = o.anyOf.isEmpty || o.anyOf.exists(isSat)
-      val oneOk = o.oneOf.isEmpty || o.oneOf.exists(isSat)
+    // Same-position legs (ref/combinator edges) evaluate as a DFS with
+    // revisit ⇒ TRUE: the runtime cycle rule accepts on re-entering a
+    // (node, instance) pair (validator.rs:62-115, pure-cycle ≡ true at
+    // ref_.rs:1008), so an in-place reference cycle ADMITS values — only
+    // structure-CONSUMING descent (required properties, demanded items)
+    // keeps the least-fixpoint "finite witness" requirement.
+    def samePosSat(s: Spec, vis: List[Spec.Obj]): Boolean = s match {
+      case Spec.Accept => true
+      case Spec.Reject => false
+      case o: Spec.Obj =>
+        if (vis.exists(_ eq o)) true // in-place cycle cut ⇒ vacuously satisfiable
+        else if (sat.containsKey(o)) true
+        else if ({ visitBudget -= 1; visitBudget < 0 }) true // optimistic bail
+        else nodeSat(o, o :: vis)
+    }
+    def nodeSat(o: Spec.Obj, vis: List[Spec.Obj]): Boolean = {
+      val refOk = o.ref.forall(r => resolve(r).forall(samePosSat(_, vis)))
+      val allOk = o.allOf.forall(samePosSat(_, vis))
+      val anyOk = o.anyOf.isEmpty || o.anyOf.exists(samePosSat(_, vis))
+      val oneOk = o.oneOf.isEmpty || o.oneOf.exists(samePosSat(_, vis))
       val iteOk = o.ifSpec.isEmpty ||
-        o.thenSpec.forall(isSat) || o.elseSpec.forall(isSat)
+        o.thenSpec.forall(samePosSat(_, vis)) || o.elseSpec.forall(samePosSat(_, vis))
       def objectOk = {
         val req = requiredClosure(o)
         !o.maxProperties.exists(_ < req.size) &&
@@ -171,10 +198,10 @@ object Canonical {
     while (changed) {
       changed = false
       nodes.keySet.forEach { o =>
-        if (!sat.containsKey(o) && nodeSat(o)) { sat.put(o, true); changed = true }
+        if (!sat.containsKey(o) && nodeSat(o, o :: Nil)) { sat.put(o, true); changed = true }
       }
     }
-    !sat.containsKey(root)
+    !sat.containsKey(root) && visitBudget >= 0
   }
 
   /** Any $id, $anchor, dynamic/recursive anchors-or-refs, or a $ref that

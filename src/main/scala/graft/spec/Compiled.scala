@@ -117,8 +117,34 @@ object Compiled {
       case Spec.Accept => TrueD
       case Spec.Reject => FalseD
       case o: Spec.Obj =>
-        if (sp.exists(_ eq o)) TrueD // structure-free cycle ⇒ accept
+        // back-edge (target already on this compile chain): the reference
+        // wraps such targets in Pending nodes that check/push a runtime
+        // (node, instance-identity) stack and accept on REVISIT
+        // (validator.rs:62-115, node.rs:198-264) — one unrolling of the
+        // body runs before the cut, which non-monotone contexts (oneOf
+        // counting, not) can observe. A static `true` here would cut one
+        // level too early and diverge from the tree walker.
+        if (sp.exists(_ eq o)) cycleGuardD(o)
         else build(o, o :: sp)
+    }
+
+    /** Runtime-guarded body for a compile-time ref back-edge target. */
+    private def cycleGuardD(o: Spec.Obj): D = {
+      val body = descend(o) // memoized; forward cell breaks compile recursion
+      (v, sc) => {
+        val stack = dynStack.get()
+        val it = stack.iterator()
+        var cycle = false
+        while (!cycle && it.hasNext) {
+          val p = it.next()
+          cycle = (p._1 eq o.asInstanceOf[AnyRef]) && (p._2 eq v.asInstanceOf[AnyRef])
+        }
+        if (cycle) true
+        else {
+          stack.push((o, v))
+          try body(v, sc) finally stack.pop()
+        }
+      }
     }
 
     /** Dynamic dispatch: resolve the target from the RUNTIME scope, run

@@ -126,10 +126,7 @@ object Interp {
       case Spec.Accept => true
       case Spec.Reject => false
       case s: Spec.Obj =>
-        // structure-free cycle ⇒ accept (reference detects via
-        // (node_id, instance identity) stack, validator.rs:62-115)
-        if (stack.exists { case (sp, in) => (sp eq spec) && (in eq v) }) return true
-        val st = (spec, v) :: stack
+        val st = stack
         val c2 = entered(spec, ctx)
         // cycle detection only needs SAME-INSTANCE recursion steps (a
         // cycle can't span a descent into a finite instance tree), so the
@@ -137,21 +134,30 @@ object Interp {
         // not O(nesting depth x branch trials)
         def ok(sub: Spec, value: JsonValue): Boolean =
           valid(sub, value, c2, if (value eq v) st else Nil)
+        // structure-free REF cycle ⇒ accept. The reference guards only
+        // ref-TARGET (Pending) nodes (validator.rs:62-115, node.rs:198-264;
+        // pure-cycle ≡ true at ref_.rs:1008), so a node first reached
+        // structurally (incl. the document root) gets ONE free unrolling
+        // before a ref back to it trips the guard — check + push at ref
+        // arrival, never at structural entry.
+        def refValid(rs: Spec, rctx: RootCtx): Boolean =
+          if (st.exists { case (sp, in) => (sp eq rs) && (in eq v) }) true
+          else valid(rs, v, rctx, (rs, v) :: st)
 
         s.ref.forall { r =>
           val (rs, rctx) = resolveRef(r, c2)
-          valid(rs, v, rctx, st)
+          refValid(rs, rctx)
         } &&
         s.dynamicRef.forall { r =>
           val (rs, rctx) = c2.registry.resolveDynamic(r, c2.res, c2.scope) match {
             case Some((sp, res)) => (sp, rebase(c2, res))
             case None => throw new SpecError(s"unresolvable $$dynamicRef: $r")
           }
-          valid(rs, v, rctx, st)
+          refValid(rs, rctx)
         } &&
         s.recursiveRef.forall { _ =>
           val (rs, res) = c2.registry.resolveRecursive(c2.res, c2.scope)
-          valid(rs, v, rebase(c2, res), st)
+          refValid(rs, rebase(c2, res))
         } &&
         s.types.forall(ts => typeMatches(ts, v)) &&
         s.const.forall(c => JsonValue.equal(c, v)) &&
@@ -364,8 +370,7 @@ object Interp {
         emit(ip, sp, s"False schema does not allow ${shv(JsonValue.render(value))}")
       case s: Spec.Obj =>
         if (n >= limit) return
-        if (stack.exists { case (x, in) => (x eq spec) && (in eq value) }) return
-        val st = (spec, value) :: stack
+        val st = stack
         val c2 = entered(spec, ctx)
         def sub(kw: String) = s"$sp/$kw"
         def okV(x: Spec, value2: JsonValue) =
@@ -373,7 +378,12 @@ object Interp {
 
         s.ref.foreach { r =>
           val (rs, rctx) = resolveRef(r, c2)
-          if (!valid(rs, value, rctx, st)) walk(rs, value, ip, sub("$ref"), rctx, st)
+          // ref-arrival cycle guard (mirrors valid()): a repeat of the
+          // same ref target at the same instance is vacuously valid
+          if (!st.exists { case (x, in) => (x eq rs) && (in eq value) }) {
+            val st2 = (rs, value) :: st
+            if (!valid(rs, value, rctx, st2)) walk(rs, value, ip, sub("$ref"), rctx, st2)
+          }
         }
         s.types.foreach { ts =>
           if (!typeMatches(ts, value)) {

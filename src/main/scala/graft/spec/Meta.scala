@@ -69,9 +69,7 @@ object Meta {
           "uniqueItems": {"type": "boolean"},
           "maxContains": {"$ref": "#/$defs/nonNegativeInteger"},
           "minContains": {"$ref": "#/$defs/nonNegativeInteger"},
-          "items": {
-            "anyOf": [ {"$ref": "#/$defs/schema"}, {"$ref": "#/$defs/schemaArray"} ]
-          },
+          "items": {"$ref": "#/$defs/schema"},
           "prefixItems": {"$ref": "#/$defs/schemaArray"},
           "additionalItems": {"$ref": "#/$defs/schema"},
           "contains": {"$ref": "#/$defs/schema"},

@@ -62,6 +62,12 @@ object Spec {
       unevaluatedItems: Option[Spec] = None,
       ref: Option[String] = None,
       defs: Map[String, Spec] = Map.empty,
+      /** true when the source document spelled the defs map with the
+        * draft-7 keyword `definitions` — emission keeps that spelling so
+        * `#/definitions/x` pointers stay aligned with their map
+        * (reference: `definitions spelling stays aligned with its
+        * reference pointer`, canonical-suite references.json). */
+      legacyDefs: Boolean = false,
       // §2.1 contentSchema (`keywords/content.rs:432-494`)
       contentSchema: Option[Spec] = None,
       // §2.3 identifiers & dynamic references (`keywords/ref_.rs:17-325`,
@@ -93,7 +99,31 @@ object Spec {
     * are ignored (annotation-only), matching the reference's behavior for
     * non-assertion keywords.
     */
-  def parse(v: JsonValue): Spec = v match {
+  def parse(v: JsonValue): Spec = {
+    // `$recursiveRef`/`$recursiveAnchor` are 2019-09 keywords; under an
+    // explicitly-declared 2020-12 dialect they are unknown (annotation
+    // only) — `$recursiveRef under 2020-12 asserts nothing`
+    // (canonical-suite dynamic_references.json; reference draft gating at
+    // keywords/mod.rs:261-541). Undeclared documents keep them active
+    // (our single engine dialect accepts the superset).
+    val declared: Option[Boolean] = v match {
+      case o: JObj => o.get("$schema").collect { case JStr(u) => u.contains("2020-12") }
+      case _ => None
+    }
+    declared match {
+      case Some(d) =>
+        val prev = recursiveInertTL.get()
+        recursiveInertTL.set(d)
+        try parseInner(v) finally recursiveInertTL.set(prev)
+      case None => parseInner(v) // inherit the enclosing document's dialect
+    }
+  }
+
+  private val recursiveInertTL = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  private def parseInner(v: JsonValue): Spec = v match {
     case JBool(true)  => Accept
     case JBool(false) => Reject
     case o: JObj      => parseObj(o)
@@ -107,12 +137,27 @@ object Spec {
     case other   => throw new SpecError(s"$kw expects a number, got ${other.jsonType.name}")
   }
   private def nonNegInt(v: JsonValue, kw: String): Long = v match {
-    case n: JNum if n.isIntegral && n.value >= 0 => n.value.toLong
+    case n: JNum if n.isIntegral && n.value >= 0 =>
+      // counter bounds past i64 (the reference stores u64; its corpus uses
+      // 2^64-1 as "the counter ceiling") clamp to Long.MaxValue —
+      // verdict-identical, since no real instance has that many
+      // members/chars, and BigDecimal.toLong would silently WRAP
+      if (n.value > Long.MaxValue) Long.MaxValue else n.value.toLong
     case other => throw new SpecError(s"$kw expects a non-negative integer, got ${JsonValue.render(other)}")
   }
   private def str(v: JsonValue, kw: String): String = v match {
     case JStr(s) => s
     case other   => throw new SpecError(s"$kw expects a string, got ${other.jsonType.name}")
+  }
+  /** Regexes are vetted at build time like the reference (InvalidPattern
+    * from the compile, not first use — `pattern.rs`/`regex.rs`); the
+    * translated form is still compiled lazily per executor. */
+  private def vetPattern(p: String): String = {
+    try java.util.regex.Pattern.compile(EcmaRegex.translate(p))
+    catch { case e: Exception =>
+      throw new SpecError(s"invalid regex ${JsonValue.render(JStr(p))}: ${e.getMessage}")
+    }
+    p
   }
   private def arr(v: JsonValue, kw: String): Vector[JsonValue] = v match {
     case JArr(xs) => xs
@@ -142,7 +187,7 @@ object Spec {
           s = s.copy(multipleOf = Some(n))
         case "minLength" => s = s.copy(minLength = Some(nonNegInt(v, k)))
         case "maxLength" => s = s.copy(maxLength = Some(nonNegInt(v, k)))
-        case "pattern" => s = s.copy(pattern = Some(str(v, k)))
+        case "pattern" => s = s.copy(pattern = Some(vetPattern(str(v, k))))
         case "format" => s = s.copy(format = Some(str(v, k)))
         case "contentEncoding" => s = s.copy(contentEncoding = Some(str(v, k)))
         case "contentMediaType" => s = s.copy(contentMediaType = Some(str(v, k)))
@@ -151,7 +196,8 @@ object Spec {
           case _ => throw new SpecError("properties expects an object")
         }
         case "patternProperties" => v match {
-          case po: JObj => s = s.copy(patternProperties = po.fields.map { case (p, ps) => p -> parse(ps) })
+          case po: JObj => s = s.copy(patternProperties =
+            po.fields.map { case (p, ps) => vetPattern(p) -> parse(ps) })
           case _ => throw new SpecError("patternProperties expects an object")
         }
         case "additionalProperties" => s = s.copy(additionalProperties = Some(parse(v)))
@@ -212,14 +258,20 @@ object Spec {
         case "$id" => s = s.copy(id = Some(str(v, k)))
         case "$anchor" => s = s.copy(anchor = Some(str(v, k)))
         case "$dynamicAnchor" => s = s.copy(dynamicAnchor = Some(str(v, k)))
-        case "$recursiveAnchor" => v match {
-          case JBool(b) => s = s.copy(recursiveAnchor = b)
-          case _ => throw new SpecError("$recursiveAnchor expects a boolean")
-        }
+        case "$recursiveAnchor" =>
+          if (recursiveInertTL.get()) () // inert under declared 2020-12
+          else v match {
+            case JBool(b) => s = s.copy(recursiveAnchor = b)
+            case _ => throw new SpecError("$recursiveAnchor expects a boolean")
+          }
         case "$dynamicRef" => s = s.copy(dynamicRef = Some(str(v, k)))
-        case "$recursiveRef" => s = s.copy(recursiveRef = Some(str(v, k)))
+        case "$recursiveRef" =>
+          if (recursiveInertTL.get()) () // inert under declared 2020-12
+          else s = s.copy(recursiveRef = Some(str(v, k)))
         case "$defs" | "definitions" => v match {
-          case po: JObj => s = s.copy(defs = s.defs ++ po.fields.map { case (p, d) => p -> parse(d) })
+          case po: JObj => s = s.copy(
+            defs = s.defs ++ po.fields.map { case (p, d) => p -> parse(d) },
+            legacyDefs = s.legacyDefs || k == "definitions")
           case _ => throw new SpecError("$defs expects an object")
         }
         case "$vocabulary" => v match {
@@ -314,7 +366,8 @@ object Spec {
       o.unevaluatedProperties.foreach(v => fields += ("unevaluatedProperties" -> toJson(v)))
       o.unevaluatedItems.foreach(v => fields += ("unevaluatedItems" -> toJson(v)))
       if (o.defs.nonEmpty)
-        fields += ("$defs" -> JObj(o.defs.toVector.sortBy(_._1).map { case (k, v) => k -> toJson(v) }))
+        fields += ((if (o.legacyDefs) "definitions" else "$defs") ->
+          JObj(o.defs.toVector.sortBy(_._1).map { case (k, v) => k -> toJson(v) }))
       o.others.foreach { case (k, v) => fields += (k -> v) }
       JObj(fields.result())
   }

@@ -13,7 +13,15 @@ import graft.spec._
 class CanonicalFormSpec extends AnyFunSuite {
 
   val files = Seq("algebra.json", "numeric.json", "negation.json", "folding.json",
-    "oneof.json", "emptiness.json", "satisfiability.json", "convergence.json")
+    "oneof.json", "emptiness.json", "satisfiability.json", "convergence.json",
+    // round 5: the 23 remaining reference corpus files (VERDICT_r04 #2)
+    "properties.json", "items.json", "additional_properties.json",
+    "contains.json", "unique_items.json", "dependencies.json",
+    "if_then_else.json", "unevaluated.json", "references.json",
+    "dynamic_references.json", "valueset.json", "string.json", "object.json",
+    "array.json", "array_tuple.json", "pattern_properties.json",
+    "property_names.json", "required.json", "structural.json", "parity.json",
+    "content.json", "raw_gate.json")
 
   /** Files asserted as a RATCHET (asserted-equal count may only grow)
     * rather than strictly: their remaining divergences are one feature —
@@ -23,10 +31,29 @@ class CanonicalFormSpec extends AnyFunSuite {
     * the oneOf exact-encoding complements built on it, and the past-i64
     * `not:{enum}` spellings an exact-decimal engine decides instead.
     * Every covered class is asserted strictly through the floor. */
-  /** Empty: every corpus file is now asserted STRICTLY (negation and
-    * oneof left the ratchet when their last partitioned-view divergences
-    * closed — only documented knownDivergent f64 spellings remain). */
-  val ratchetFloor: Map[String, Int] = Map.empty
+  /** The original 8 files are asserted STRICTLY (no floor entries). The
+    * 23 files vendored in round 5 start as ratchets at their round-5
+    * asserted counts: their residual divergences are the reference's
+    * typed-IR per-domain union/intersection algebra (object/array/string
+    * leaf merges across anyOf branches, allOf property-map meets,
+    * per-leaf emptiness oracles — `ir/{object,array,string}_leaves.rs`),
+    * built out incrementally. Verdict parity on every group is asserted
+    * unconditionally by CanonicalSuiteSpec. */
+  val ratchetFloor: Map[String, Int] = Map(
+    "properties.json" -> 12, "items.json" -> 11,
+    "additional_properties.json" -> 7, "contains.json" -> 11,
+    "unique_items.json" -> 21, "dependencies.json" -> 2,
+    "if_then_else.json" -> 0, "unevaluated.json" -> 5,
+    "references.json" -> 30, "dynamic_references.json" -> 1,
+    "string.json" -> 18, "object.json" -> 15, "array.json" -> 17,
+    "array_tuple.json" -> 7, "pattern_properties.json" -> 13,
+    "property_names.json" -> 10, "required.json" -> 14,
+    "structural.json" -> 1, "parity.json" -> 29, "content.json" -> 0,
+    // 6/9: the three residuals rewrite MORE than the reference (its raw
+    // gate declines e.g. ¬¬-elimination over unmodeled bodies; our
+    // rewrites stay verdict-preserving — asserted by CanonicalSuiteSpec)
+    "raw_gate.json" -> 6,
+  )
 
   /** Known, understood divergences of the lite normal form, keyed by
     * "file / description"; each entry documents WHY the forms differ while
@@ -81,7 +108,8 @@ class CanonicalFormSpec extends AnyFunSuite {
     groups.flatMap { g =>
       val go = g.asInstanceOf[JObj]
       val desc = go.get("description").collect { case JStr(s) => s }.getOrElse("")
-      if (go.get("draft").nonEmpty || go.get("validate_formats").nonEmpty) None
+      if (go.get("draft").nonEmpty || go.get("validate_formats").nonEmpty ||
+          go.get("error").nonEmpty) None // rejection cases → ErrorsCorpusSpec
       else for {
         schema <- go.get("schema")
         expected <- go.get("expected") if expected.isInstanceOf[JObj] || expected.isInstanceOf[JBool]
