@@ -157,6 +157,32 @@ object Bench {
       .count()
   }
 
+  /** The reference's CITM benchmark (501 KB wide catalog object,
+    * `crates/benchmark/data/citm_catalog.json`) mirrored at table scale:
+    * n row-unique copies validated through the fused streaming kernel —
+    * the wide NON-recursive shape complement to the Recursive mirror. */
+  def citmFixture(spark: SparkSession, n: Long, partitions: Int): String = {
+    val path = s"/tmp/graft_bench/citm_n$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val instance = new String(
+        getClass.getResourceAsStream("/bench/citm_catalog.json").readAllBytes(), "UTF-8")
+      spark.range(0, n, 1, partitions)
+        .select(regexp_replace(lit(instance), lit("Salle Pleyel"),
+          concat(lit("Salle "), col("id"))).as("doc"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  def validateCitm(spark: SparkSession, path: String): Long = {
+    val schema = new String(
+      getClass.getResourceAsStream("/bench/citm_catalog_schema.json").readAllBytes(), "UTF-8")
+    val prepared = graft.spec.Interp.prepare(graft.spec.Spec.parseJson(schema))
+    spark.read.parquet(path)
+      .where(graft.functions.exprs.content_schema_valid(col("doc"), prepared))
+      .count()
+  }
+
   // ---- host-interference evidence (VERDICT_r02 "What's wrong" #2): the
   // shared microVM shows CPU-steal windows that made the r02 driver record
   // unexplainable; the bench JSON now carries loadavg, /proc/stat steal +
@@ -294,27 +320,46 @@ object Bench {
       val ok = validateRecursive(spark, recPath)
       require(ok == 40000L, s"recursive validation regressed: $ok/40000 valid")
     }
-    // the reference's Recursive headline frame: single-core fused streaming
-    // parse+validate docs/s (its Rust walker: ~155k/s on this document)
-    val recStreamPerSec = {
+    // reference CITM workload at table scale: 2000 × 501 KB (~1 GB of
+    // documents) through the same streaming kernel
+    val citmPath = citmFixture(spark, 2000, cpus.toInt * 2)
+    validateCitm(spark, citmPath) // warmup
+    timed("citm_stream_2k", 2) {
+      val ok = validateCitm(spark, citmPath)
+      require(ok == 2000L, s"CITM validation regressed: $ok/2000 valid")
+    }
+    // the reference's benchmark headline frame: single-core fused streaming
+    // parse+validate docs/s over its own published workloads
+    // (`crates/benchmark-suite/README.md:48-53,61-66`):
+    //   Recursive  6.47 µs/doc  (~155k docs/s)  4.7 KB nested dictionaries
+    //   CITM     346.39 µs/doc  (~2.9k docs/s)  501 KB wide catalog object
+    //   GeoJSON  370.51 µs/doc  (~2.7k docs/s)  2.1 MB polygon collection
+    def streamDocsPerSec(schemaRes: String, instRes: String,
+                         minIters: Int, warmupNs: Long): Double = {
       val instance = new String(
-        getClass.getResourceAsStream("/bench/recursive_instance.json").readAllBytes(), "UTF-8")
+        getClass.getResourceAsStream(s"/bench/$instRes").readAllBytes(), "UTF-8")
       val schema = new String(
-        getClass.getResourceAsStream("/bench/recursive_schema.json").readAllBytes(), "UTF-8")
+        getClass.getResourceAsStream(s"/bench/$schemaRes").readAllBytes(), "UTF-8")
       val prepared = graft.spec.Interp.prepare(graft.spec.Spec.parseJson(schema))
       require(prepared.isValidText(instance))
       var iters = 0
       val warm = System.nanoTime()
-      while (System.nanoTime() - warm < 2e9.toLong) { prepared.isValidText(instance); iters += 1 }
+      while (System.nanoTime() - warm < warmupNs) { prepared.isValidText(instance); iters += 1 }
       // best of 3 timed windows (steal-robust, same policy as the probe)
       (1 to 3).map { _ =>
-        val n = math.max(2000, iters)
+        val n = math.max(minIters, iters)
         val t0 = System.nanoTime()
         var k = 0
         while (k < n) { prepared.isValidText(instance); k += 1 }
         n / ((System.nanoTime() - t0) / 1e9)
       }.max
     }
+    val recStreamPerSec =
+      streamDocsPerSec("recursive_schema.json", "recursive_instance.json", 2000, 2e9.toLong)
+    val citmStreamPerSec =
+      streamDocsPerSec("citm_catalog_schema.json", "citm_catalog.json", 50, 1e9.toLong)
+    val geojsonStreamPerSec =
+      streamDocsPerSec("geojson.json", "canada.json", 20, 1e9.toLong)
     val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       timed(name, reps) { fn(spark, sfDir).count(); () }
@@ -342,7 +387,7 @@ object Bench {
       s""""clips_attempts":[${clipsAttempts.mkString(",")}],"entry_host":$eh"""
     val total = results.values.sum
     val nErr = status.values.count(_ != "ok")
-    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f,"recursive_stream_docs_per_sec_1core":$recStreamPerSec%.0f}"""
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rep_times":$rp,"status":$st,$host,"n_errors":$nErr,"sf":"$sfDir","clips":$rows,"clips_per_sec":$clipsPerSec%.0f,"recursive_stream_docs_per_sec_1core":$recStreamPerSec%.0f,"citm_stream_docs_per_sec_1core":$citmStreamPerSec%.1f,"geojson_stream_docs_per_sec_1core":$geojsonStreamPerSec%.1f}"""
     println(record)
     // tail-proof copy (VERDICT_r04 "What's wrong" #4): the driver captured
     // only the last 2,000 stdout chars of the r04 record and the per-query

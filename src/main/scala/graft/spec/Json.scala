@@ -25,8 +25,27 @@ case object JNull extends JsonValue
 final case class JBool(value: Boolean) extends JsonValue
 /** All numbers as BigDecimal: exact cross-representation comparison. */
 final case class JNum(value: BigDecimal) extends JsonValue {
-  @transient lazy val isIntegral: Boolean =
-    value.scale <= 0 || value.remainder(BigDecimal(1)).compareTo(BigDecimal(0)) == 0
+  /** `1.0` counts as integer (`types.rs:192-245`). The check runs once
+    * per number in every `type` keyword hit, so it must not divide:
+    * `remainder(1)` inflates to BigInteger Knuth division and dominated
+    * whole-document validation on numeric-heavy payloads (GeoJSON
+    * coordinates). A decimal with scale s is integral iff its s lowest
+    * digits are zero — a long digit loop for the ubiquitous compact case. */
+  @transient lazy val isIntegral: Boolean = {
+    val s = value.scale
+    if (s <= 0) true
+    else {
+      val u = value.underlying.unscaledValue
+      if (u.signum == 0) true
+      else if (u.bitLength <= 62) {
+        var v = Math.abs(u.longValueExact)
+        var k = s
+        var integral = true
+        while (integral && k > 0) { integral = v % 10 == 0; v /= 10; k -= 1 }
+        integral
+      } else value.underlying.stripTrailingZeros.scale <= 0
+    }
+  }
 }
 final case class JStr(value: String) extends JsonValue
 final case class JArr(items: Vector[JsonValue]) extends JsonValue

@@ -182,6 +182,56 @@ object Streaming {
       if (cons(mi).tracksBits) masks = new Array[Long](cons.length)
       mi += 1
     }
+    // uniform-map fast path: no consumer reads the key (no properties,
+    // patternProperties, propertyNames, required/dependency bits) — the
+    // shape `additionalProperties: S` over data-as-keys maps (e.g. CITM's
+    // id-keyed catalogs). Interning thousands of distinct document keys
+    // thrashes the bounded pool, and the value consumer is the same for
+    // every key, so skip the name and stream the value.
+    if (masks == null && pns.length == 0 && {
+          var ci = 0; var kf = true
+          while (kf && ci < cons.length) {
+            val oc = cons(ci); kf = oc.fields.isEmpty && oc.patterns.length == 0; ci += 1
+          }
+          kf
+        }) {
+      var apCount = 0
+      var apOne: SRef = null
+      var ci = 0
+      while (ci < cons.length) {
+        if (cons(ci).apS != null) { apCount += 1; apOne = cons(ci).apS }
+        ci += 1
+      }
+      var count = 0
+      if (cur.peek == '}') cur.bump()
+      else {
+        var done = false
+        while (!done) {
+          cur.ws()
+          cur.skipFieldName()
+          cur.ws(); cur.expect(':')
+          if (apCount == 0) cur.skipValue()
+          else if (apCount == 1) { if (!apOne.f(cur)) return false }
+          else {
+            val v = cur.readTree()
+            ci = 0
+            while (ci < cons.length) {
+              val d = cons(ci).apD
+              if (d != null && !d(v)) return false
+              ci += 1
+            }
+          }
+          count += 1
+          cur.ws()
+          (cur.readCh(): @annotation.switch) match {
+            case ',' => ()
+            case '}' => done = true
+            case _   => cur.err("expected ',' or '}'")
+          }
+        }
+      }
+      return endObj(cons, masks, count)
+    }
     var count = 0
     if (cur.peek == '}') cur.bump()
     else {
@@ -897,14 +947,21 @@ object Streaming {
                 (ps.const.nonEmpty || ps.enumVals.nonEmpty) =>
               k -> ps.const.map(Vector(_)).getOrElse(ps.enumVals.get)
           }.toMap
-          if (m.isEmpty) return None
+          // a TAGLESS branch is fine when it cannot match an object at all
+          // (e.g. GeoJSON's `{"type":"null"}` beside seven tagged geometry
+          // objects): object values can never satisfy it, so the tagged
+          // subset stays exact; its scalar verdicts fold via the trial
+          // constants below
+          if (m.isEmpty && !bo.types.exists(ts => !ts.contains(JsonType.Object)))
+            return None
           m
         case _ => return None
       }
-      val shared = perBranch.map(_.keySet).reduce(_ intersect _)
+      val shared = perBranch.filter(_.nonEmpty).map(_.keySet)
+        .reduceOption(_ intersect _).getOrElse(return None)
       shared.iterator.flatMap { key =>
         val entries = perBranch.zipWithIndex.flatMap { case (m, i) =>
-          m(key).map(c => JsonValue.render(c) -> i)
+          m.getOrElse(key, Vector.empty).map(c => JsonValue.render(c) -> i)
         }
         val table = entries.toMap
         if (table.size == entries.length) Some((key, table)) else None
@@ -957,9 +1014,19 @@ object Streaming {
         case None =>
           tryConstDispatch(branches) match {
             case Some((key, renderTable)) =>
-              // arrays can't dispatch and can't precompute: require the
-              // node to already exclude them (tag unions declare object)
-              if (acc.okArr) throw Unstreamable
+              // arrays can't dispatch and can't precompute: either the
+              // node already excludes them, or NO branch admits them (a
+              // type-pinned union — e.g. GeoJSON geometries — then the
+              // combinator itself rules arrays out)
+              if (acc.okArr) {
+                val anyBranchAdmitsArrays = branches.exists {
+                  case bo: Spec.Obj =>
+                    bo.types.forall(_.contains(JsonType.Array))
+                  case b => b == Spec.Accept
+                }
+                if (anyBranchAdmitsArrays) throw Unstreamable
+                acc.okArr = false
+              }
               val branchObjs: Array[BranchObj] = branches.map {
                 case bo: Spec.Obj =>
                   if (sp.exists(_ eq bo)) new BranchObj(Array.empty, Array.empty)
@@ -1062,6 +1129,21 @@ object Streaming {
       }
       i = p
       if (s.charAt(p) == '\\') JsonValue.FieldIntern.intern(readStringSlow(start))
+      else err("unescaped control character in string")
+    }
+
+    /** Grammar-only field name: vetted like readFieldName, never interned
+      * (uniform-map fast path — the key is data nobody reads). */
+    def skipFieldName(): Unit = {
+      if (i >= n || s.charAt(i) != '"') err("expected field name")
+      i += 1
+      val start = i
+      val q = s.indexOf('"', i)
+      if (q < 0) err("unterminated string")
+      val p = vetSpan(i, q)
+      if (p == q) { i = q + 1; return }
+      i = p
+      if (s.charAt(p) == '\\') { readStringSlow(start); () }
       else err("unescaped control character in string")
     }
 
