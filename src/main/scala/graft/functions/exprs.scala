@@ -141,10 +141,10 @@ object GraftFns {
     val text = s.toString
     try {
       if (p.isValidText(text)) true
-      else {
-        try { graft.spec.JsonValue.parse(text); false }
-        catch { case _: java.io.IOException => true }
-      }
+      // stream-false: a grammar-only skip (no tree) splits genuinely
+      // invalid (false) from malformed (vacuous true) — skip/parse
+      // acceptance agreement is pinned by LexerDifferentialSpec
+      else !graft.spec.Streaming.grammarOk(text)
     } catch { case _: java.io.IOException => true }
   }
 }

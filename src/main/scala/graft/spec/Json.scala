@@ -368,7 +368,14 @@ object JsonValue {
         var j = if (s.charAt(start) == '-') start + 1 else start
         while (j < i) { v = v * 10 + (s.charAt(j) - '0'); j += 1 }
         JNum(BigDecimal(if (s.charAt(start) == '-') -v else v))
-      } else JNum(BigDecimal(new java.math.BigDecimal(s.substring(start, i))))
+      } else
+        // grammar-valid but unrepresentable magnitudes (e.g. an exponent
+        // past BigDecimal's int scale) are PARSE errors, like serde's
+        // "number out of range" — never an engine crash
+        try JNum(BigDecimal(new java.math.BigDecimal(s.substring(start, i))))
+        catch { case e: NumberFormatException =>
+          { i = start; err("number out of range") }
+        }
     }
 
     private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'

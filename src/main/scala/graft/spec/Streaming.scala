@@ -50,6 +50,17 @@ object Streaming {
 
   /** Compiled streaming validator for `entry`; None when the tree-side
     * twin compiler exceeds its budget (caller falls back to parse+walk). */
+  /** Grammar-only vet: does `text` lex as one JSON value? Runs the strict
+    * RFC 8259 skip (no tree, no allocation); agreement with
+    * `JsonValue.parse` acceptance is pinned by LexerDifferentialSpec.
+    * Used by contentSchemaValid to split invalid-from-malformed without
+    * re-building a tree (ADVICE r04 #4). */
+  def grammarOk(text: String): Boolean = {
+    val c = new Cur(text)
+    try { c.ws(); c.skipValue(); true }
+    catch { case _: java.io.IOException => false }
+  }
+
   def compile(registry: Registry, entry: Spec, assertFormats: Boolean): Option[String => Boolean] =
     try {
       val c = new SCompiler(registry, entry, assertFormats)
@@ -737,17 +748,157 @@ object Streaming {
       c => shape.run(c)
     }
 
+    /** Does `s` accept EVERY value of atom `t` (1), NO value (0), or does
+      * the verdict depend on the value (-1)? Conservative pure analysis;
+      * scalar atoms always report -1 (they are folded by value instead). */
+    private def atomStatus(s: Spec, t: JsonType, sp: List[Spec.Obj]): Int = s match {
+      case Spec.Accept => 1
+      case Spec.Reject => 0
+      case o: Spec.Obj =>
+        if (sp.exists(_ eq o)) 1 // same-position ref cycle ⇒ vacuous accept
+        else {
+          val allows = o.types.forall(ts => ts.contains(t) ||
+            (t == JsonType.Integer && ts.contains(JsonType.Number)))
+          if (!allows) 0
+          else {
+            val dep = o.const.nonEmpty || o.enumVals.nonEmpty ||
+              o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty || (t match {
+                case JsonType.Array =>
+                  o.items.nonEmpty || o.prefixItems.nonEmpty ||
+                  o.minItems.exists(_ > 0) || o.maxItems.nonEmpty ||
+                  o.contains.nonEmpty || o.uniqueItems ||
+                  o.unevaluatedItems.nonEmpty
+                case JsonType.Object =>
+                  o.properties.nonEmpty || o.patternProperties.nonEmpty ||
+                  o.additionalProperties.nonEmpty || o.required.nonEmpty ||
+                  o.minProperties.exists(_ > 0) || o.maxProperties.nonEmpty ||
+                  o.propertyNames.nonEmpty || o.dependentRequired.nonEmpty ||
+                  o.dependentSchemas.nonEmpty ||
+                  o.unevaluatedProperties.nonEmpty
+                case _ => true
+              })
+            if (dep) -1
+            else {
+              val sp2 = o :: sp
+              // 0 dominates a conjunction, then -1, then 1
+              def conj(a: Int, b: Int): Int =
+                if (a == 0 || b == 0) 0 else if (a == -1 || b == -1) -1 else 1
+              def disj(a: Int, b: Int): Int =
+                if (a == 1 || b == 1) 1 else if (a == -1 || b == -1) -1 else 0
+              var st = 1
+              o.ref.foreach { r =>
+                registry.resolve(r, registry.resourceOf(o)) match {
+                  case Some((tg, _)) => st = conj(st, atomStatus(tg, t, sp2))
+                  case None          => st = conj(st, -1)
+                }
+              }
+              o.allOf.foreach(b => st = conj(st, atomStatus(b, t, sp2)))
+              if (o.anyOf.nonEmpty)
+                st = conj(st, o.anyOf.map(atomStatus(_, t, sp2)).reduce(disj))
+              if (o.oneOf.nonEmpty) {
+                val bs = o.oneOf.map(atomStatus(_, t, sp2))
+                val ones = bs.count(_ == 1)
+                val one =
+                  if (ones >= 2) 0
+                  else if (bs.contains(-1)) -1
+                  else if (ones == 1) 1
+                  else 0
+                st = conj(st, one)
+              }
+              o.not.foreach { n =>
+                val ns = atomStatus(n, t, sp2)
+                st = conj(st, if (ns == -1) -1 else 1 - ns)
+              }
+              o.ifSpec.foreach { i =>
+                val is = atomStatus(i, t, sp2)
+                val ts = o.thenSpec.map(atomStatus(_, t, sp2)).getOrElse(1)
+                val es = o.elseSpec.map(atomStatus(_, t, sp2)).getOrElse(1)
+                val ite = is match {
+                  case 1  => ts
+                  case 0  => es
+                  case -1 => if (ts == es) ts else -1
+                }
+                st = conj(st, ite)
+              }
+              st
+            }
+          }
+        }
+    }
+
+    /** Fold `not: n` into the check sets (see addNode). */
+    private def foldNot(n: Spec, acc: Acc, sp: List[Spec.Obj]): Unit = {
+      val f = twinSame(n, sp)
+      if (acc.okNull) acc.okNull = !f(JNull)
+      if (acc.okTrue) acc.okTrue = !f(JBool(true))
+      if (acc.okFalse) acc.okFalse = !f(JBool(false))
+      val numNeg = (jn: JNum) => !f(jn)
+      acc.numCI += numNeg; acc.numCF += numNeg
+      acc.strC += (s => !f(JStr(s)))
+      if (acc.okArr) atomStatus(n, JsonType.Array, sp) match {
+        case 1  => acc.okArr = false // body accepts every array ⇒ ¬ rejects
+        case 0  => ()                // body rejects arrays ⇒ ¬ is vacuous
+        case _  => throw Unstreamable
+      }
+      if (acc.okObj) atomStatus(n, JsonType.Object, sp) match {
+        case 1  => acc.okObj = false
+        case 0  => ()
+        case _  => throw Unstreamable
+      }
+    }
+
+    /** Fold `if`/`then`/`else` into the check sets (see addNode). */
+    private def foldIte(i: Spec, t: Option[Spec], e: Option[Spec],
+                        acc: Acc, sp: List[Spec.Obj]): Unit = {
+      val fi = twinSame(i, sp)
+      val ft = t.map(twinSame(_, sp))
+      val fe = e.map(twinSame(_, sp))
+      def ite(v: JsonValue): Boolean =
+        if (fi(v)) ft.forall(_(v)) else fe.forall(_(v))
+      if (acc.okNull) acc.okNull = ite(JNull)
+      if (acc.okTrue) acc.okTrue = ite(JBool(true))
+      if (acc.okFalse) acc.okFalse = ite(JBool(false))
+      val numIte = (jn: JNum) => ite(jn)
+      acc.numCI += numIte; acc.numCF += numIte
+      acc.strC += (s => ite(JStr(s)))
+      def atomFold(atom: JsonType, get: () => Boolean, clear: () => Unit): Unit =
+        if (get()) {
+          val branchStatus = atomStatus(i, atom, sp) match {
+            case 1  => t.map(atomStatus(_, atom, sp)).getOrElse(1)
+            case 0  => e.map(atomStatus(_, atom, sp)).getOrElse(1)
+            case -1 =>
+              val ts = t.map(atomStatus(_, atom, sp)).getOrElse(1)
+              val es = e.map(atomStatus(_, atom, sp)).getOrElse(1)
+              if (ts == es) ts else -1
+          }
+          branchStatus match {
+            case 1  => ()
+            case 0  => clear()
+            case -1 => throw Unstreamable
+          }
+        }
+      atomFold(JsonType.Array, () => acc.okArr, () => acc.okArr = false)
+      atomFold(JsonType.Object, () => acc.okObj, () => acc.okObj = false)
+    }
+
     /** Merge node `o`'s same-value closure into `acc`. Mirrors
       * Compiled.Builder.build's check-set keyword by keyword; throws
       * Unstreamable on any order-dependent construct. */
     private def addNode(o: Spec.Obj, acc: Acc, sp: List[Spec.Obj]): Unit = {
       budget -= 1
       if (budget < 0) throw Unstreamable
-      if (o.not.nonEmpty || o.ifSpec.nonEmpty ||
-          o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
+      if (o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty ||
           o.dependentSchemas.nonEmpty ||
           o.dynamicRef.nonEmpty || o.recursiveRef.nonEmpty)
         throw Unstreamable
+      // `not` / `if`-`then`-`else` fold into the fused pass instead of
+      // materializing the node (VERDICT_r04 #8): null/bool verdicts are
+      // twin evaluations of constants, numbers/strings become per-value
+      // twin closures, and arrays/objects fold when the bodies' behavior
+      // on those atoms is provably CONSTANT (atomStatus) — only a
+      // value-dependent array/object condition still materializes.
+      o.not.foreach(foldNot(_, acc, sp))
+      o.ifSpec.foreach(foldIte(_, o.thenSpec, o.elseSpec, acc, sp))
       val oRes = registry.resourceOf(o)
       if (oRes ne entryRes) throw Unstreamable
 
@@ -1259,6 +1410,7 @@ object Streaming {
       * Returns true when the token has no '.'/'e' part (surely integral —
       * the converse is NOT surely fractional: 1.0 and 1e2 are integral). */
     def scanNumber(): Boolean = {
+      val start = i
       if (i < n && s.charAt(i) == '-') i += 1
       if (i >= n) err("malformed number")
       val c0 = s.charAt(i)
@@ -1277,7 +1429,20 @@ object Streaming {
         i += 1
         if (i < n && { val c = s.charAt(i); c == '+' || c == '-' }) i += 1
         if (i >= n || !isDigit(s.charAt(i))) err("malformed number")
+        var expStart = i
         skipDigits()
+        // the tree parser rejects unrepresentable magnitudes ("number out
+        // of range", Json.scala parseNumber) — the grammar skip must agree,
+        // or a skipped value would stream as valid where parse throws.
+        // Suspicious shape (an exponent past 9 significant digits) is
+        // vetted through the same BigDecimal construction (rare path).
+        while (expStart < i && s.charAt(expStart) == '0') expStart += 1
+        if (i - expStart > 9) {
+          try { new java.math.BigDecimal(s.substring(start, i)); () }
+          catch { case _: NumberFormatException =>
+            { i = start; err("number out of range") }
+          }
+        }
       }
       intOnly
     }
@@ -1293,7 +1458,11 @@ object Streaming {
         var j = if (s.charAt(start) == '-') start + 1 else start
         while (j < i) { v = v * 10 + (s.charAt(j) - '0'); j += 1 }
         JNum(BigDecimal(if (s.charAt(start) == '-') -v else v))
-      } else JNum(BigDecimal(new java.math.BigDecimal(s.substring(start, i))))
+      } else
+        try JNum(BigDecimal(new java.math.BigDecimal(s.substring(start, i))))
+        catch { case _: NumberFormatException =>
+          { i = start; err("number out of range") }
+        }
     }
 
     /** Skip one value, grammar-checked (a VALID verdict must imply the

@@ -208,6 +208,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fused not / if-then-else folds (VERDICT_r04 #8): all atoms, no node materialization bail") {
+    // scalar bodies fold into the pass (twin closures per number/string,
+    // twin-on-constant for null/bool, atomStatus constants for arr/obj)
+    val p1 = prep("""{"not": {"type": "string", "minLength": 2}}""")
+    Seq("\"a\"" -> true, "\"ab\"" -> false, "5" -> true, "null" -> true,
+        "[1,2]" -> true, "{\"x\":1}" -> true).foreach { case (d, w) =>
+      assert(p1.isValidText(d) == w, d); assert(p1.isValid(JsonValue.parse(d)) == w, d)
+    }
+    // not over a type set: arrays/objects fold as constants
+    val p2 = prep("""{"not": {"type": ["array", "null"]}}""")
+    Seq("[1]" -> false, "[]" -> false, "null" -> false, "5" -> true,
+        "{}" -> true, "\"s\"" -> true).foreach { case (d, w) =>
+      assert(p2.isValidText(d) == w, d)
+    }
+    // numeric conditional: if/then/else fully fused, arrays/objects vacuous
+    val p3 = prep("""{"if": {"type": "integer", "minimum": 0}, "then": {"multipleOf": 2}, "else": {"type": ["string", "object", "array", "number", "null", "boolean"]}}""")
+    Seq("4" -> true, "3" -> false, "-3" -> true, "\"s\"" -> true,
+        "{}" -> true, "[1]" -> true).foreach { case (d, w) =>
+      assert(p3.isValidText(d) == w, d)
+    }
+    // if over a type pin whose branches decide arr/obj constantly
+    val p4 = prep("""{"if": {"type": "array"}, "then": false, "else": {"type": ["string", "number"]}}""")
+    Seq("[1]" -> false, "\"s\"" -> true, "5" -> true, "{}" -> false,
+        "null" -> false).foreach { case (d, w) =>
+      assert(p4.isValidText(d) == w, d)
+    }
+    // body containing combinators still folds via atomStatus recursion
+    val p5 = prep("""{"not": {"anyOf": [{"type": "array"}, {"type": "string", "pattern": "^x"}]}}""")
+    Seq("[1]" -> false, "\"xa\"" -> false, "\"a\"" -> true, "5" -> true,
+        "{}" -> true).foreach { case (d, w) =>
+      assert(p5.isValidText(d) == w, d)
+    }
+    // value-dependent OBJECT condition still gets correct verdicts through
+    // the per-position materialization fallback
+    val p6 = prep("""{"type": "object", "properties": {"v": {"if": {"type": "object", "required": ["tag"]}, "then": {"required": ["val"]}, "else": true}}}""")
+    Seq("""{"v": {"tag": 1, "val": 2}}""" -> true,
+        """{"v": {"tag": 1}}""" -> false,
+        """{"v": {"other": 1}}""" -> true,
+        """{"v": 5}""" -> true).foreach { case (d, w) =>
+      assert(p6.isValidText(d) == w, d)
+    }
+  }
+
   test("$ref merge, allOf merge, cycles") {
     val p = prep(
       """{
