@@ -260,7 +260,8 @@ object Canonical {
               (o.allOf.contains(n) || o.not.contains(n)))
           case _ => false })
         return Spec.Reject
-      val folded = foldAllOf(oneOfAlgebra(pushNotKeyword(recurse(o, annotationsMatter))))
+      val folded = foldAllOf(oneOfAlgebra(rewriteIte(
+        pushNotKeyword(recurse(o, annotationsMatter)), annotationsMatter)))
       val alg = if (annotationsMatter) folded else anyOfAlgebra(folded, annotationsMatter)
       alg match {
         case f: Spec.Obj =>
@@ -1150,6 +1151,37 @@ object Canonical {
 
   /** Rewrite the `not` keyword of `o` into positive conjuncts when the
     * pushed form exists (kept as an allOf member so foldAllOf merges it). */
+  /** `if I then T else E` ⟺ `anyOf[I∧T, ¬I∧E]` (the reference encodes the
+    * conditional through its negation machinery — if_then_else.json; a
+    * condition whose complement declines stays raw, raw_gate.json). A bare
+    * `if` (no then/else) and `then`/`else` without `if` assert nothing.
+    * Disabled when annotations matter: ¬I's spelling could evaluate
+    * properties the original never did. */
+  private def rewriteIte(o: Spec.Obj, annotationsMatter: Boolean): Spec.Obj =
+    o.ifSpec match {
+      case None =>
+        if (o.thenSpec.nonEmpty || o.elseSpec.nonEmpty)
+          o.copy(thenSpec = None, elseSpec = None)
+        else o
+      case Some(_) if annotationsMatter => o
+      case Some(i) =>
+        if (o.thenSpec.isEmpty && o.elseSpec.isEmpty) o.copy(ifSpec = None)
+        else pushNot(i, bare = true) match {
+          case Some(negI) =>
+            def conj(x: Spec, y: Spec): Spec = (x, y) match {
+              case (Spec.Accept, v) => v
+              case (v, Spec.Accept) => v
+              case (Spec.Reject, _) | (_, Spec.Reject) => Spec.Reject
+              case (a: Spec.Obj, b: Spec.Obj) => Spec.Obj(allOf = Vector(a, b))
+            }
+            val b1 = conj(i, o.thenSpec.getOrElse(Spec.Accept))
+            val b2 = conj(negI, o.elseSpec.getOrElse(Spec.Accept))
+            o.copy(ifSpec = None, thenSpec = None, elseSpec = None,
+              allOf = o.allOf :+ Spec.Obj(anyOf = Vector(b1, b2)))
+          case None => o // complement declined: keep the conditional raw
+        }
+    }
+
   private def pushNotKeyword(o: Spec.Obj): Spec.Obj = o.not match {
     case Some(n) => pushNot(n, bare = only(o)(_.copy(not = None))) match {
       case Some(Spec.Reject) => o.copy(not = None, allOf = o.allOf :+ Spec.Reject)
@@ -1165,6 +1197,20 @@ object Canonical {
   /** Scalar-only leaf (propertyNames allowed — compared recursively): no
     * other applicators, combinators, refs, annotations or identifiers —
     * the fragment where set comparisons are decidable. */
+  /** `o` with every applicator/combinator/ref cleared — a WIDENING of `o`
+    * (each cleared keyword only narrows), used for one-sided subsumption. */
+  private def scalarSkeleton(o: Spec.Obj): Spec.Obj = o.copy(
+    properties = Vector.empty, patternProperties = Vector.empty,
+    additionalProperties = None, dependentRequired = Vector.empty,
+    dependentSchemas = Vector.empty, items = None, prefixItems = Vector.empty,
+    contains = None, allOf = Vector.empty, anyOf = Vector.empty,
+    oneOf = Vector.empty, not = None, ifSpec = None, thenSpec = None,
+    elseSpec = None, unevaluatedProperties = None, unevaluatedItems = None,
+    contentEncoding = None, contentMediaType = None, contentSchema = None,
+    ref = None, dynamicRef = None, recursiveRef = None,
+    id = None, anchor = None, dynamicAnchor = None, recursiveAnchor = false,
+    defs = Map.empty, others = Vector.empty)
+
   private def scalarLeaf(o: Spec.Obj): Boolean =
     o.properties.isEmpty && o.patternProperties.isEmpty &&
       o.additionalProperties.isEmpty &&
@@ -1250,6 +1296,12 @@ object Canonical {
       try s.const.map(Vector(_)).getOrElse(s.enumVals.get)
         .forall(m => Interp.isValid(g, m))
       catch { case _: Throwable => false }
+    // every assertion keyword only narrows, so stripping the SPECIFIC
+    // side's applicators/combinators widens it: g ⊇ widened(s) ⇒ g ⊇ s.
+    // Covers `ir: a branch constraining a property is dropped by one
+    // that does not` (object window vs window+entry).
+    case (g: Spec.Obj, s: Spec.Obj) if scalarLeaf(g) && !scalarLeaf(s) &&
+        subsumes(g, scalarSkeleton(s)) => true
     case (g: Spec.Obj, s: Spec.Obj) if scalarLeaf(g) && scalarLeaf(s) =>
       // a pure value set carries its members' types implicitly — lets
       // {type:string} subsume {const:"a"} (covered-branch dropping)
@@ -1567,7 +1619,7 @@ object Canonical {
         case b: Spec.Obj if b.anyOf.nonEmpty && only(b)(_.copy(anyOf = Vector.empty)) => b.anyOf
         case b => Vector(b)
       }
-      val merged = unionMerge(flat)
+      val merged = objectWindowUnion(unionMerge(flat))
       val live = merged.filter(_ != Spec.Reject)
       if (merged.nonEmpty && live.isEmpty) Vector(Spec.Reject)
       else if (live.contains(Spec.Accept)) Vector.empty
@@ -1581,6 +1633,129 @@ object Canonical {
           }
         }.map(_._1)
     }
+  }
+
+  /** Disjunction of two subschema positions (union entry). */
+  private def disjoinSpecs(x: Spec, y: Spec): Spec = (x, y) match {
+    case (Spec.Accept, _) | (_, Spec.Accept) => Spec.Accept
+    case (Spec.Reject, v) => v
+    case (v, Spec.Reject) => v
+    case (xo: Spec.Obj, yo: Spec.Obj) =>
+      if (xo == yo) xo
+      else canon(Spec.Obj(anyOf = Vector(xo, yo)),
+        annotationsMatter = containsUnevaluated(Spec.Obj(anyOf = Vector(xo, yo))))
+  }
+
+  /** Pairwise union of plain object-window branches (`ir/object_leaves.rs`
+    * union, lite): branches whose only keywords are `type:"object"`,
+    * `properties`, `required`, `min`/`maxProperties` merge exactly when
+    * they differ in (a) just the size window, with overlapping or
+    * integer-adjacent intervals, or (b) one property entry — the entry
+    * unions (and the key's required bit survives only if both branches
+    * demand it; with equal windows/other-requireds the union is exact). */
+  private def objectWindowUnion(branches: Vector[Spec]): Vector[Spec] = {
+    def objLeaf(o: Spec.Obj): Boolean =
+      o.types.contains(Set(JsonType.Object): Set[JsonType]) &&
+        only(o)(_.copy(types = None, properties = Vector.empty,
+          required = Vector.empty, minProperties = None, maxProperties = None))
+    def tryUnion(a: Spec.Obj, b: Spec.Obj): Option[Spec.Obj] = {
+      val aP = a.properties.toMap; val bP = b.properties.toMap
+      val aR = a.required.toSet; val bR = b.required.toSet
+      def win(o: Spec.Obj): (Long, Option[Long]) =
+        (o.minProperties.getOrElse(0L), o.maxProperties)
+      val sameEntries = aP == bP
+      if (sameEntries && aR == bR) {
+        // size-window interval union (integers: adjacency joins too)
+        val (lo1, hi1) = win(a); val (lo2, hi2) = win(b)
+        val (loB, hiA) = if (lo1 <= lo2) (lo2, hi1) else (lo1, hi2)
+        val joinable = hiA.forall(h => h == Long.MaxValue || loB <= h + 1)
+        if (!joinable) None
+        else {
+          val lo = math.min(lo1, lo2)
+          val hi = (hi1, hi2) match {
+            case (Some(x), Some(y)) => Some(math.max(x, y))
+            case _ => None
+          }
+          Some(a.copy(minProperties = if (lo == 0L) None else Some(lo),
+            maxProperties = hi))
+        }
+      } else if (win(a) == win(b)) {
+        // one differing entry (absent = Accept); requireds equal away
+        // from that key
+        val keys = aP.keySet ++ bP.keySet
+        val diffE = keys.filter(k => aP.get(k) != bP.get(k))
+        val diffR = (aR diff bR) ++ (bR diff aR)
+        val k0 = diffE ++ diffR
+        if (k0.size != 1) None
+        else {
+          val k = k0.head
+          val entry = disjoinSpecs(aP.getOrElse(k, Spec.Accept), bP.getOrElse(k, Spec.Accept))
+          val bothReq = aR(k) && bR(k)
+          val props0 = a.properties.filterNot(_._1 == k)
+          val props =
+            if (entry == Spec.Accept) props0
+            else props0 ++ Vector(k -> entry)
+          Some(a.copy(properties = props,
+            required = if (bothReq) a.required
+                       else a.required.filterNot(_ == k)))
+        }
+      } else None
+    }
+    // array analog: same `items` (and uniqueItems), joinable length
+    // windows — `ir: union windows under the same item schema merge`.
+    // (No entry-diff rule for arrays: {items:X}∨{items:Y} ≠ {items:X∨Y}.)
+    def arrLeaf(o: Spec.Obj): Boolean =
+      o.types.contains(Set(JsonType.Array): Set[JsonType]) &&
+        only(o)(_.copy(types = None, items = None, minItems = None,
+          maxItems = None, uniqueItems = false))
+    def tryUnionArr(a: Spec.Obj, b: Spec.Obj): Option[Spec.Obj] = {
+      if (a.items != b.items || a.uniqueItems != b.uniqueItems) None
+      else {
+        val (lo1, hi1) = (a.minItems.getOrElse(0L), a.maxItems)
+        val (lo2, hi2) = (b.minItems.getOrElse(0L), b.maxItems)
+        val (loB, hiA) = if (lo1 <= lo2) (lo2, hi1) else (lo1, hi2)
+        if (!hiA.forall(h => h == Long.MaxValue || loB <= h + 1)) None
+        else {
+          val lo = math.min(lo1, lo2)
+          val hi = (hi1, hi2) match {
+            case (Some(x), Some(y)) => Some(math.max(x, y))
+            case _ => None
+          }
+          Some(a.copy(minItems = if (lo == 0L) None else Some(lo), maxItems = hi))
+        }
+      }
+    }
+    var bs = branches
+    var go = true
+    while (go) {
+      go = false
+      var i = 0
+      while (!go && i < bs.length) {
+        var j = i + 1
+        while (!go && j < bs.length) {
+          (bs(i), bs(j)) match {
+            case (a: Spec.Obj, b: Spec.Obj) if objLeaf(a) && objLeaf(b) =>
+              tryUnion(a, b) match {
+                case Some(m) =>
+                  bs = bs.patch(j, Nil, 1).updated(i, m)
+                  go = true
+                case None => ()
+              }
+            case (a: Spec.Obj, b: Spec.Obj) if arrLeaf(a) && arrLeaf(b) =>
+              tryUnionArr(a, b) match {
+                case Some(m) =>
+                  bs = bs.patch(j, Nil, 1).updated(i, m)
+                  go = true
+                case None => ()
+              }
+            case _ => ()
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    bs
   }
 
   /** Union folding across anyOf branches (`algebra.rs` union algebra,
@@ -2128,6 +2303,24 @@ object Canonical {
 
   /** Conjunction-merge `b` into `a`; None if any keyword of `b` conflicts
     * structurally (then b stays as an allOf member). */
+  /** Conjunction of two subschema positions: the value must satisfy both.
+    * Non-trivial pairs become an allOf the enclosing canon fixpoint then
+    * splices/merges. */
+  private def conjoinSpecs(x: Spec, y: Spec): Spec = (x, y) match {
+    case (Spec.Accept, v) => v
+    case (v, Spec.Accept) => v
+    case (Spec.Reject, _) => Spec.Reject
+    case (_, Spec.Reject) => Spec.Reject
+    case (xo: Spec.Obj, yo: Spec.Obj) =>
+      if (xo == yo) xo
+      else {
+        // canonicalize the conjunction in place (shares the enclosing
+        // work budget); annotation scoping decided from the pair itself
+        val merged = Spec.Obj(allOf = Vector(xo, yo))
+        canon(merged, annotationsMatter = containsUnevaluated(merged))
+      }
+  }
+
   private def mergeInto(a: Spec.Obj, b: Spec.Obj): Option[Spec.Obj] = {
     // only scalar-constraint keywords + required merge; applicators and
     // combinators don't (they'd need semantic intersection)
@@ -2135,11 +2328,18 @@ object Canonical {
     // neither side carries additionalProperties/unevaluated*, whose
     // coverage is defined BY the property key set (hoisting a member's
     // keys into the parent would shrink what the parent's shield sees)
+    // keys present on BOTH sides intersect per-key (the entry becomes
+    // allOf[X,Y], canonicalized by the enclosing fixpoint — `ir: allOf
+    // intersects the schema of a shared key`); that changes no key-set
+    // coverage, so shields on `a` don't block it. NEW keys join only
+    // under the original no-shield guard (they would shrink what `a`'s
+    // additionalProperties sees).
+    val newPropKeys = b.properties.filter { case (k, _) => !a.properties.exists(_._1 == k) }
     val propsMergeable = b.properties.nonEmpty &&
-      a.additionalProperties.isEmpty && b.additionalProperties.isEmpty &&
       a.unevaluatedProperties.isEmpty && b.unevaluatedProperties.isEmpty &&
-      a.patternProperties.isEmpty && b.patternProperties.isEmpty &&
-      b.properties.forall { case (k, _) => !a.properties.exists(_._1 == k) }
+      (newPropKeys.isEmpty ||
+        (a.additionalProperties.isEmpty && b.additionalProperties.isEmpty &&
+         a.patternProperties.isEmpty && b.patternProperties.isEmpty))
     // a bare value shield (no declared keys on either side beyond `a`'s
     // pattern targets that EQUAL the shield) conjoins by equality: b
     // covers every key with X; a covers every key with X through its own
@@ -2160,7 +2360,7 @@ object Canonical {
       // propertyNames and not are plain conjunct constraints: they hoist
       // into an EMPTY parent slot (two of a kind would need semantic
       // intersection — those stay as allOf members)
-      (b.propertyNames.nonEmpty && a.propertyNames.nonEmpty) ||
+      // (two propertyNames conjoin per-key below)
       b.dependentRequired.nonEmpty || b.dependentSchemas.nonEmpty ||
       // items/prefixItems/contains hoist into EMPTY parent slots (allOf
       // membership vs parent position is annotation-equivalent; two of a
@@ -2169,7 +2369,9 @@ object Canonical {
       // items to the tail, so any cross-pairing blocks the hoist; a
       // hoisted contains must not activate inert min/maxContains on the
       // parent
-      (b.items.nonEmpty && (a.items.nonEmpty || a.prefixItems.nonEmpty)) ||
+      // two `items` conjoin per-element (no positional offset when neither
+      // side carries a prefix); a prefix on either side still blocks
+      (b.items.nonEmpty && a.prefixItems.nonEmpty) ||
       (b.prefixItems.nonEmpty && (a.items.nonEmpty || a.prefixItems.nonEmpty)) ||
       (b.contains.nonEmpty && (a.contains.nonEmpty ||
         a.minContains.nonEmpty || a.maxContains.nonEmpty)) ||
@@ -2239,13 +2441,26 @@ object Canonical {
       minProperties = maxOfL(a.minProperties, b.minProperties),
       maxProperties = minOfL(a.maxProperties, b.maxProperties),
       required = (a.required ++ b.required).distinct,
-      properties = a.properties ++ (if (propsMergeable) b.properties else Vector.empty),
+      properties =
+        if (!propsMergeable) a.properties
+        else a.properties.map { case (k, av) =>
+          b.properties.find(_._1 == k) match {
+            case Some((_, bv)) if bv != av => k -> conjoinSpecs(av, bv)
+            case _ => k -> av
+          }
+        } ++ newPropKeys,
       patternProperties = a.patternProperties ++
         (if (apMergeable) b.patternProperties else Vector.empty),
       additionalProperties = a.additionalProperties.orElse(b.additionalProperties),
-      propertyNames = a.propertyNames.orElse(b.propertyNames),
+      propertyNames = (a.propertyNames, b.propertyNames) match {
+        case (Some(x), Some(y)) => Some(conjoinSpecs(x, y))
+        case (x, y) => x.orElse(y)
+      },
       not = a.not.orElse(b.not),
-      items = a.items.orElse(b.items),
+      items = (a.items, b.items) match {
+        case (Some(x), Some(y)) => Some(conjoinSpecs(x, y))
+        case (x, y) => x.orElse(y)
+      },
       prefixItems = if (a.prefixItems.nonEmpty) a.prefixItems else b.prefixItems,
       contains = a.contains.orElse(b.contains),
       minContains = maxOfL(a.minContains, b.minContains),
@@ -2391,6 +2606,18 @@ object Canonical {
     // (¬multipleOf(m) with m dividing all wholes) admits nothing
     (intOnly && barredFromWholeDivisor(o)) ||
     (objOnly && o.maxProperties.exists(_ < o.required.distinct.size)) ||
+    // propertyNames pinning keys to a finite value set whose every string
+    // member is killed by `properties:{k:false}`: with minProperties ≥ 1
+    // no object fits (`ir: a forbidden admitted key beside a property
+    // minimum is unsatisfiable`)
+    (objOnly && o.minProperties.exists(_ >= 1L) && o.propertyNames.exists {
+      case pn: Spec.Obj if Canonical.only(pn)(_.copy(const = None, enumVals = None, types = None)) =>
+        pn.const.map(Vector(_)).orElse(pn.enumVals).exists { vs =>
+          vs.collect { case JStr(s) => s }.forall(k =>
+            o.properties.exists(p => p._1 == k && p._2 == Spec.Reject))
+        }
+      case _ => false
+    }) ||
     notDominatesPinnedKeys(o, objOnly) ||
     valueWitnessFails(o)
   }

@@ -40,14 +40,16 @@ class CanonicalFormSpec extends AnyFunSuite {
     * built out incrementally. Verdict parity on every group is asserted
     * unconditionally by CanonicalSuiteSpec. */
   val ratchetFloor: Map[String, Int] = Map(
-    "properties.json" -> 12, "items.json" -> 11,
-    "additional_properties.json" -> 7, "contains.json" -> 11,
-    "unique_items.json" -> 21, "dependencies.json" -> 2,
-    "if_then_else.json" -> 0, "unevaluated.json" -> 5,
+    // floors raised mid-round-5 after the union/intersection/ite-rewrite
+    // additions (properties 12→19, object 15→20, if_then_else 0→6, ...)
+    "properties.json" -> 19, "items.json" -> 15,
+    "additional_properties.json" -> 8, "contains.json" -> 12,
+    "unique_items.json" -> 23, "dependencies.json" -> 2,
+    "if_then_else.json" -> 6, "unevaluated.json" -> 5,
     "references.json" -> 30, "dynamic_references.json" -> 1,
-    "string.json" -> 18, "object.json" -> 15, "array.json" -> 17,
-    "array_tuple.json" -> 7, "pattern_properties.json" -> 13,
-    "property_names.json" -> 10, "required.json" -> 14,
+    "string.json" -> 18, "object.json" -> 20, "array.json" -> 18,
+    "array_tuple.json" -> 8, "pattern_properties.json" -> 14,
+    "property_names.json" -> 11, "required.json" -> 15,
     "structural.json" -> 1, "parity.json" -> 29, "content.json" -> 0,
     // 6/9: the three residuals rewrite MORE than the reference (its raw
     // gate declines e.g. ¬¬-elimination over unmodeled bodies; our
