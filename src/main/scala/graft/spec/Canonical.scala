@@ -260,12 +260,12 @@ object Canonical {
               (o.allOf.contains(n) || o.not.contains(n)))
           case _ => false })
         return Spec.Reject
-      val folded = foldAllOf(oneOfAlgebra(rewriteIte(
-        pushNotKeyword(recurse(o, annotationsMatter)), annotationsMatter)))
+      val folded = foldAllOf(oneOfAlgebra(rewriteIte(rewriteDependencies(
+        pushNotKeyword(recurse(o, annotationsMatter)), annotationsMatter), annotationsMatter)))
       val alg = if (annotationsMatter) folded else anyOfAlgebra(folded, annotationsMatter)
       alg match {
         case f: Spec.Obj =>
-          val nf = numericNormalize(f)
+          val nf = arrayCeiling(numericNormalize(f), annotationsMatter)
           if (isContradictory(nf)) Spec.Reject
           else valueSetCollapse(nf, annotationsMatter) match {
             case v00: Spec.Obj =>
@@ -280,7 +280,7 @@ object Canonical {
               if (c == Spec.empty) Spec.Accept
               else if (c.allOf.length == 1 && only(c)(_.copy(allOf = Vector.empty)))
                 c.allOf.head // sole unmergeable conjunct IS the schema
-              else c
+              else refSpelling(c, annotationsMatter)
             case other => other
           }
         case other => other
@@ -704,7 +704,7 @@ object Canonical {
       o.types.forall(ts => expand(ts).contains(JsonType.Object))
     if (!eligible) return o
     val objs = members.collect { case m: JObj => m }
-    val groups = objs.groupBy(_.fields.map(_._1).sorted).toVector.sortBy(_._1.mkString(" "))
+    val groups = objs.groupBy(_.fields.map(_._1).sorted).toVector.sortBy(_._1.mkString("\u0000"))
     if (!groups.forall { case (ks, ms) => ks.length <= 1 || ms.length == 1 }) return o
     def valueSpec(vs: Vector[JsonValue]): Spec = {
       val uniq = vs.foldLeft(Vector.empty[JsonValue])((acc, v) =>
@@ -732,9 +732,10 @@ object Canonical {
 
   // ---- negation pushdown (`canonical/negate.rs:65-126` lite) -----------
 
-  /** Is `o` exactly the empty schema plus the given projection cleared? */
+  /** Is `o` exactly the empty schema plus the given projection cleared?
+    * (the defs-spelling flag is presentation, not a constraint) */
   private def only(o: Spec.Obj)(clear: Spec.Obj => Spec.Obj): Boolean =
-    clear(o) == Spec.empty
+    clear(o).copy(legacyDefs = false) == Spec.empty
 
   /** Root-document `$defs`, visible to the negation algebra: the
     * reference resolves symbolic branches before complementing (the
@@ -1151,6 +1152,87 @@ object Canonical {
 
   /** Rewrite the `not` keyword of `o` into positive conjuncts when the
     * pushed form exists (kept as an allOf member so foldAllOf merges it). */
+  /** The reference's symbolic-ref spelling (references.json): a canonical
+    * node never mixes `$ref` with sibling assertions — a LONE ref (or a
+    * lone symbolic not) sits directly on the node after unwrapping a sole
+    * allOf member, while ref-plus-siblings splits into
+    * `allOf[{$ref}, {siblings}]` with `$defs`/identifiers on the outer.
+    * The split is skipped under unevaluated* (an allOf member's
+    * unevaluatedProperties no longer sees its sibling's evaluations). */
+  private def refSpelling(o: Spec.Obj, annotationsMatter: Boolean): Spec.Obj = {
+    def bookkeepingOnly(x: Spec.Obj)(alsoClear: Spec.Obj => Spec.Obj): Boolean =
+      only(x)(y => alsoClear(y).copy(defs = Map.empty, id = None,
+        anchor = None, dynamicAnchor = None))
+    val o1 = o.allOf match {
+      case Vector(m: Spec.Obj) if o.ref.isEmpty && m.ref.nonEmpty &&
+          only(m)(_.copy(ref = None)) &&
+          bookkeepingOnly(o)(_.copy(allOf = Vector.empty)) =>
+        o.copy(ref = m.ref, allOf = Vector.empty)
+      case Vector(m: Spec.Obj) if o.not.isEmpty && m.not.nonEmpty &&
+          only(m)(_.copy(not = None)) &&
+          bookkeepingOnly(o)(_.copy(allOf = Vector.empty)) =>
+        o.copy(not = m.not, allOf = Vector.empty)
+      case _ => o
+    }
+    if (o1.ref.isEmpty || annotationsMatter ||
+        o1.unevaluatedProperties.nonEmpty || o1.unevaluatedItems.nonEmpty ||
+        o1.others.nonEmpty || o1.vocabulary.nonEmpty || o1.recursiveAnchor ||
+        o1.dynamicRef.nonEmpty || o1.recursiveRef.nonEmpty ||
+        bookkeepingOnly(o1)(_.copy(ref = None, allOf = Vector.empty)))
+      o1
+    else {
+      val rest = o1.copy(ref = None, allOf = Vector.empty, defs = Map.empty,
+        legacyDefs = false, id = None, anchor = None, dynamicAnchor = None)
+      val members = (Vector(Spec.Obj(ref = o1.ref): Spec) ++ o1.allOf ++
+        (if (rest == Spec.empty) Vector.empty else Vector(rest: Spec)))
+      if (members.length < 2) o1
+      else Spec.Obj(defs = o1.defs, legacyDefs = o1.legacyDefs, id = o1.id,
+        anchor = o1.anchor, dynamicAnchor = o1.dynamicAnchor, allOf = members)
+    }
+  }
+
+  /** `dependentRequired`/`dependentSchemas` eliminate into presence
+    * branches (dependencies.json): `k → D` ⟺ `¬k ∨ D`, where ¬k spells
+    * `properties:{k:false}`; multiple entries expand as a product (capped
+    * at 2 entries = 4 branches). Disabled when annotations matter (a
+    * dependent schema's applicators feed evaluated-sets differently once
+    * distributed). */
+  private def rewriteDependencies(o: Spec.Obj, annotationsMatter: Boolean): Spec.Obj = {
+    val nDR = o.dependentRequired.length
+    val nDS = o.dependentSchemas.length
+    if (nDR + nDS == 0 || nDR + nDS > 2 || annotationsMatter ||
+        o.unevaluatedProperties.nonEmpty || o.unevaluatedItems.nonEmpty) return o
+    // entries as (key, rhs): rhs is required-set or a subschema
+    val entries: Vector[(String, Either[Vector[String], Spec])] =
+      o.dependentRequired.map { case (k, deps) => k -> (Left(deps): Either[Vector[String], Spec]) } ++
+      o.dependentSchemas.map { case (k, s) => k -> (Right(s): Either[Vector[String], Spec]) }
+    // product over entries: each picks ¬k (key forbidden) or its rhs
+    var branches: Vector[(Vector[String], Vector[String], Vector[Spec])] =
+      Vector((Vector.empty, Vector.empty, Vector.empty)) // (forbidKeys, reqKeys, schemas)
+    entries.foreach { case (k, rhs) =>
+      branches = branches.flatMap { case (f, r, s) =>
+        val withNot = (f :+ k, r, s)
+        val withRhs = rhs match {
+          case Left(deps) => (f, r ++ deps, s)
+          case Right(sub) => (f, r, s :+ sub)
+        }
+        Vector(withNot, withRhs)
+      }
+    }
+    val anyOfBranches: Vector[Spec] = branches.map { case (f, r, s) =>
+      val ss = s.filter(_ != Spec.Accept)
+      if (ss.contains(Spec.Reject)) Spec.Reject
+      else if (f.isEmpty && r.isEmpty && ss.isEmpty) Spec.Accept
+      else if (f.isEmpty && r.isEmpty && ss.length == 1) ss.head
+      else Spec.Obj(
+        properties = f.distinct.map(k => k -> (Spec.Reject: Spec)),
+        required = r.distinct,
+        allOf = ss)
+    }
+    o.copy(dependentRequired = Vector.empty, dependentSchemas = Vector.empty,
+      allOf = o.allOf :+ Spec.Obj(anyOf = anyOfBranches))
+  }
+
   /** `if I then T else E` ⟺ `anyOf[I∧T, ¬I∧E]` (the reference encodes the
     * conditional through its negation machinery — if_then_else.json; a
     * condition whose complement declines stays raw, raw_gate.json). A bare
@@ -1166,7 +1248,15 @@ object Canonical {
       case Some(_) if annotationsMatter => o
       case Some(i) =>
         if (o.thenSpec.isEmpty && o.elseSpec.isEmpty) o.copy(ifSpec = None)
-        else pushNot(i, bare = true) match {
+        else pushNot(i, bare = true).orElse {
+          // a PURE symbolic reference complements symbolically:
+          // `reference condition keeps its symbolic complement`
+          i match {
+            case io: Spec.Obj if io.ref.nonEmpty && only(io)(_.copy(ref = None)) =>
+              Some(Spec.Obj(not = Some(io)))
+            case _ => None
+          }
+        } match {
           case Some(negI) =>
             def conj(x: Spec, y: Spec): Spec = (x, y) match {
               case (Spec.Accept, v) => v
@@ -1619,6 +1709,15 @@ object Canonical {
         case b: Spec.Obj if b.anyOf.nonEmpty && only(b)(_.copy(anyOf = Vector.empty)) => b.anyOf
         case b => Vector(b)
       }
+      // X beside its own complement leaves no value out (`a reference
+      // beside its own complement`, references.json) — every instance
+      // satisfies X or ¬X
+      if (flat.exists {
+            case nb: Spec.Obj if nb.not.nonEmpty && only(nb)(_.copy(not = None)) =>
+              flat.exists(_ == nb.not.get)
+            case _ => false
+          })
+        return Vector.empty
       val merged = objectWindowUnion(unionMerge(flat))
       val live = merged.filter(_ != Spec.Reject)
       if (merged.nonEmpty && live.isEmpty) Vector(Spec.Reject)
@@ -1707,9 +1806,12 @@ object Canonical {
     def arrLeaf(o: Spec.Obj): Boolean =
       o.types.contains(Set(JsonType.Array): Set[JsonType]) &&
         only(o)(_.copy(types = None, items = None, minItems = None,
-          maxItems = None, uniqueItems = false))
+          maxItems = None, uniqueItems = false, contains = None,
+          minContains = None, maxContains = None))
     def tryUnionArr(a: Spec.Obj, b: Spec.Obj): Option[Spec.Obj] = {
-      if (a.items != b.items || a.uniqueItems != b.uniqueItems) None
+      if (a.items != b.items || a.uniqueItems != b.uniqueItems ||
+          a.contains != b.contains || a.minContains != b.minContains ||
+          a.maxContains != b.maxContains) None
       else {
         val (lo1, hi1) = (a.minItems.getOrElse(0L), a.maxItems)
         val (lo2, hi2) = (b.minItems.getOrElse(0L), b.maxItems)
@@ -2373,8 +2475,11 @@ object Canonical {
       // side carries a prefix); a prefix on either side still blocks
       (b.items.nonEmpty && a.prefixItems.nonEmpty) ||
       (b.prefixItems.nonEmpty && (a.items.nonEmpty || a.prefixItems.nonEmpty)) ||
-      (b.contains.nonEmpty && (a.contains.nonEmpty ||
-        a.minContains.nonEmpty || a.maxContains.nonEmpty)) ||
+      // an EQUAL contains schema merges its count window (min=max of
+      // floors, max=min of ceilings); different bodies stay as conjuncts
+      (b.contains.nonEmpty && a.contains != b.contains &&
+        (a.contains.nonEmpty ||
+         a.minContains.nonEmpty || a.maxContains.nonEmpty)) ||
       b.allOf.nonEmpty || b.anyOf.nonEmpty || b.oneOf.nonEmpty ||
       (b.not.nonEmpty && a.not.nonEmpty && a.not != b.not) || b.not.exists(isSymbolicNot) ||
       b.ifSpec.nonEmpty || b.ref.nonEmpty ||
@@ -2390,7 +2495,8 @@ object Canonical {
       // a member's minContains/maxContains are no-ops without a `contains`
       // beside them; hoisting them next to the parent's `contains` would
       // activate (tighten) them
-      ((b.minContains.nonEmpty || b.maxContains.nonEmpty) && a.contains.nonEmpty) ||
+      (b.contains.isEmpty &&
+        (b.minContains.nonEmpty || b.maxContains.nonEmpty) && a.contains.nonEmpty) ||
       // differing patterns/formats: keep both as conjuncts
       b.pattern.nonEmpty && a.pattern.nonEmpty && a.pattern != b.pattern ||
       b.format.nonEmpty && a.format.nonEmpty && a.format != b.format
@@ -2592,6 +2698,20 @@ object Canonical {
       o.minItems.zip(o.maxItems).exists { case (l, h) => l > h } ||
       o.maxContains.zip(Some(o.minContains.getOrElse(1L)))
         .exists { case (h, l) => o.contains.nonEmpty && l > h })) ||
+    // a contains floor no array can fit: more demanded matches than
+    // allowed elements (`ir: minContains above maxItems rejects every
+    // array`), a reject-all contains body, or fewer positions whose
+    // schemas can meet the demand than the floor (items/prefix
+    // disjointness — `ir: a contains demand no element position can meet`)
+    (arrOnly && o.contains.nonEmpty && o.minContains.getOrElse(1L) >= 1L && {
+      val need = o.minContains.getOrElse(1L)
+      o.maxItems.exists(_ < need) ||
+      o.contains.contains(Spec.Reject) ||
+      (o.items.exists(it => disjoint(it, o.contains.get)) && {
+        val meetable = o.prefixItems.count(p => !disjoint(p, o.contains.get))
+        meetable < need
+      })
+    }) ||
     (objOnly && o.minProperties.zip(o.maxProperties).exists { case (l, h) => l > h }) ||
     o.const.exists(c => o.types.exists(ts => !typeOk(ts, c))) ||
     (o.anyOf.nonEmpty && o.anyOf.forall(_ == Spec.Reject)) ||
@@ -2606,6 +2726,9 @@ object Canonical {
     // (¬multipleOf(m) with m dividing all wholes) admits nothing
     (intOnly && barredFromWholeDivisor(o)) ||
     (objOnly && o.maxProperties.exists(_ < o.required.distinct.size)) ||
+    // a required key whose own entry admits nothing
+    (objOnly && o.required.exists(k =>
+      o.properties.exists(p => p._1 == k && p._2 == Spec.Reject))) ||
     // propertyNames pinning keys to a finite value set whose every string
     // member is killed by `properties:{k:false}`: with minProperties ≥ 1
     // no object fits (`ir: a forbidden admitted key beside a property
@@ -2618,8 +2741,100 @@ object Canonical {
         }
       case _ => false
     }) ||
+    // uniqueItems + a finite item-value domain that cannot fill the
+    // length floor (`ir: a two-value item domain under uniqueItems cannot
+    // fill minItems 3`, unique_items.json): distinct items are drawn from
+    // the union of the items/prefixItems domains — an UPPER bound, since
+    // further constraints only shrink it
+    (arrOnly && o.uniqueItems && o.minItems.exists { mi =>
+      domainValues(o.items.getOrElse(Spec.Accept)).exists { iv =>
+        val pv = o.prefixItems.map(domainValues)
+        pv.forall(_.nonEmpty) && {
+          val all = (iv ++ pv.flatMap(_.get)).foldLeft(Vector.empty[JsonValue]) {
+            (acc, v) => if (acc.exists(JsonValue.equal(_, v))) acc else acc :+ v
+          }
+          all.size < mi
+        }
+      }
+    }) ||
+    // same counting for contains demands: minContains distinct matches
+    // cannot come out of a smaller finite contains domain
+    (arrOnly && o.uniqueItems && o.contains.nonEmpty &&
+      o.minContains.exists(mc => domainValues(o.contains.get).exists { vs =>
+        vs.foldLeft(Vector.empty[JsonValue]) {
+          (acc, v) => if (acc.exists(JsonValue.equal(_, v))) acc else acc :+ v
+        }.size < mc
+      })) ||
     notDominatesPinnedKeys(o, objOnly) ||
     valueWitnessFails(o)
+  }
+
+  private def dedupEq(vs: Vector[JsonValue]): Vector[JsonValue] =
+    vs.foldLeft(Vector.empty[JsonValue]) {
+      (acc, v) => if (acc.exists(JsonValue.equal(_, v))) acc else acc :+ v
+    }
+
+  /** An UPPER BOUND on the set of values a subschema position can take,
+    * when finite and enumerable: const/enum members filtered by the type
+    * pin, a null/boolean-only type set, or a small bounded integer grid.
+    * None = unbounded/unknown. */
+  private def domainValues(s: Spec): Option[Vector[JsonValue]] = s match {
+    case Spec.Reject => Some(Vector.empty)
+    case Spec.Accept => None
+    case o: Spec.Obj =>
+      val base: Option[Vector[JsonValue]] =
+        if (o.const.nonEmpty) Some(Vector(o.const.get))
+        else if (o.enumVals.nonEmpty) o.enumVals
+        else o.types.flatMap { ts =>
+          if (ts.subsetOf(Set(JsonType.Null, JsonType.Boolean): Set[JsonType]))
+            Some(
+              (if (ts.contains(JsonType.Null)) Vector(JNull: JsonValue) else Vector.empty) ++
+              (if (ts.contains(JsonType.Boolean)) Vector(JBool(true): JsonValue, JBool(false)) else Vector.empty))
+          else if (ts == (Set(JsonType.Integer): Set[JsonType])) {
+            // small integer grid [lo, hi] (bounds already snapped inward
+            // by numericNormalize); multipleOf only shrinks — still an
+            // upper bound without it
+            val lo = o.minimum.orElse(o.exclusiveMinimum.map(_ + 1))
+            val hi = o.maximum.orElse(o.exclusiveMaximum.map(_ - 1))
+            (lo, hi) match {
+              case (Some(l0), Some(h0)) if l0.isWhole && h0.isWhole &&
+                  h0 - l0 <= BigDecimal(31) && h0 >= l0 =>
+                Some((0 to (h0 - l0).toInt).toVector.map(i => JNum(l0 + i): JsonValue))
+              case _ => None
+            }
+          } else None
+        }
+      base.map(_.filter(v => o.types.forall(ts => typeOk(ts, v))))
+  }
+
+  /** uniqueItems + a finite item domain caps the length
+    * (`ir: a bounded integer item domain caps the length under
+    * uniqueItems`): distinct elements ≤ min(|items ∪ prefix domains|,
+    * |items domain| + #prefix slots). A ceiling at the prefix length makes
+    * `items` unreachable; a ceiling ≤ 1 makes uniqueItems vacuous. */
+  private def arrayCeiling(o: Spec.Obj, annotationsMatter: Boolean): Spec.Obj = {
+    if (!o.uniqueItems) {
+      return if (o.maxItems.exists(_ <= 1L)) o.copy(uniqueItems = false) else o
+    }
+    domainValues(o.items.getOrElse(Spec.Accept)) match {
+      case Some(iv0) =>
+        val iv = dedupEq(iv0)
+        val prefixDoms = o.prefixItems.map(domainValues)
+        val slotBound = iv.size.toLong + o.prefixItems.length
+        val unionBound: Option[Long] =
+          if (prefixDoms.forall(_.nonEmpty))
+            Some(dedupEq(iv ++ prefixDoms.flatMap(_.get)).size.toLong)
+          else None
+        val ceiling = unionBound.fold(slotBound)(u => math.min(u, slotBound))
+        val newMax = o.maxItems.fold(ceiling)(m => math.min(m, ceiling))
+        var r = o.copy(maxItems = Some(newMax))
+        if (newMax <= o.prefixItems.length && o.items.nonEmpty && !annotationsMatter)
+          r = r.copy(items = None)
+        if (newMax <= 1L) r = r.copy(uniqueItems = false)
+        r
+      case None =>
+        if (o.maxItems.exists(_ <= 1L)) o.copy(uniqueItems = false) else o
+    }
   }
 
   /** An integer-only leaf conjoined (directly or via an allOf member) with

@@ -40,17 +40,19 @@ class CanonicalFormSpec extends AnyFunSuite {
     * built out incrementally. Verdict parity on every group is asserted
     * unconditionally by CanonicalSuiteSpec. */
   val ratchetFloor: Map[String, Int] = Map(
-    // floors raised mid-round-5 after the union/intersection/ite-rewrite
-    // additions (properties 12→19, object 15→20, if_then_else 0→6, ...)
+    // floors ratcheted through round 5 as the union/intersection/ceiling/
+    // ite/dependency-elimination algebra landed (round-5 start totals:
+    // properties 12, unique_items 21, contains 11, if_then_else 0,
+    // references 30, dependencies 2, ...)
     "properties.json" -> 19, "items.json" -> 15,
-    "additional_properties.json" -> 8, "contains.json" -> 12,
-    "unique_items.json" -> 23, "dependencies.json" -> 2,
+    "additional_properties.json" -> 8, "contains.json" -> 18,
+    "unique_items.json" -> 40, "dependencies.json" -> 5,
     "if_then_else.json" -> 6, "unevaluated.json" -> 5,
-    "references.json" -> 30, "dynamic_references.json" -> 1,
+    "references.json" -> 34, "dynamic_references.json" -> 1,
     "string.json" -> 18, "object.json" -> 20, "array.json" -> 18,
     "array_tuple.json" -> 8, "pattern_properties.json" -> 14,
     "property_names.json" -> 11, "required.json" -> 15,
-    "structural.json" -> 1, "parity.json" -> 29, "content.json" -> 0,
+    "structural.json" -> 1, "parity.json" -> 31, "content.json" -> 0,
     // 6/9: the three residuals rewrite MORE than the reference (its raw
     // gate declines e.g. ¬¬-elimination over unmodeled bodies; our
     // rewrites stay verdict-preserving — asserted by CanonicalSuiteSpec)
