@@ -259,39 +259,57 @@ object TextOps {
                       expandDups: Boolean = true): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
       fingerprint(col(textCol)).as("fp"))
-    // members is narrow (id, fp) — the only thing the expansion keeps
-    val members = keyed.select("id", "fp").persist()
-    val reps = keyed.groupBy("fp")
-      .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"))
-    // persist = a materialization boundary: without it Catalyst inlines
-    // the whole shingle pipeline into the post-join jaccard filter and
-    // every candidate pair recomputes it
-    val docs = reps.select(col("fp"), col("id"), shingles(col("text"), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist()
-    // candidate generation shuffles only (id, band, band_hash) — the fat
-    // shingle arrays are joined back ONLY for the deduped candidates
-    val banded = docs
-      .select(col("id"), explode(lshBands(minhashSignature(col("sh"), k, seed), rowsPerBand)).as("band_key"))
-    val capped = capBuckets(banded, Seq("band_key"), maxBucketSize, seed, "minhashNearDups")
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val pairs = a.join(b,
-        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val da = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val db = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val repPairs = pairs.join(da, "id_a").join(db, "id_b")
-      .withColumn("jaccard", graft.functions.vecexprs.jaccard_sim(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    // groups that entered banding (empty-shingle groups emit no pairs,
-    // exactly as the uncollapsed operator filtered those docs out)
-    val groups = docs.select(col("fp"), col("id").as("rep"))
-    val out = expandDupPairs(repPairs, members, groups, "jaccard",
-      lit(1.0), expandDups)
-    materializeAndRelease(out, members, docs)
+    // candidate generation from shingled docs: shuffles only (id, band,
+    // band_hash) — the fat shingle arrays are joined back ONLY for the
+    // deduped candidates
+    def verifiedPairs(docs: DataFrame): DataFrame = {
+      val banded = docs
+        .select(col("id"), explode(lshBands(minhashSignature(col("sh"), k, seed), rowsPerBand)).as("band_key"))
+      val capped = capBuckets(banded, Seq("band_key"), maxBucketSize, seed, "minhashNearDups")
+      val a = capped.alias("a")
+      val b = capped.alias("b")
+      val pairs = a.join(b,
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val da = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val db = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      pairs.join(da, "id_a").join(db, "id_b")
+        .withColumn("jaccard", graft.functions.vecexprs.jaccard_sim(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+    // The exact-duplicate pre-collapse (an m-clique costs O(m) via its
+    // representative) pays a FULL-TEXT shuffle in the groupBy; whether the
+    // corpus has meaningful duplication is decided first with a map-side
+    // HLL aggregate (no shuffle). Low-duplication corpora skip straight
+    // to banding — the per-bucket cap bounds candidates either way.
+    val st = keyed.agg(count(lit(1)).as("n"), approx_count_distinct(col("fp")).as("d")).head()
+    val collapse = st.getLong(0) - st.getLong(1) > 0.02 * st.getLong(0)
+    if (!collapse) {
+      val docs = keyed.select(col("id"), shingles(col("text"), n).as("sh"))
+        .where(size(col("sh")) > 0)
+        .persist()
+      materializeAndRelease(verifiedPairs(docs), docs)
+    } else {
+      // members is narrow (id, fp) — the only thing the expansion keeps
+      val members = keyed.select("id", "fp").persist()
+      val reps = keyed.groupBy("fp")
+        .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"))
+      // persist = a materialization boundary: without it Catalyst inlines
+      // the whole shingle pipeline into the post-join jaccard filter and
+      // every candidate pair recomputes it
+      val docs = reps.select(col("fp"), col("id"), shingles(col("text"), n).as("sh"))
+        .where(size(col("sh")) > 0)
+        .persist()
+      val repPairs = verifiedPairs(docs)
+      // groups that entered banding (empty-shingle groups emit no pairs,
+      // exactly as the uncollapsed operator filtered those docs out)
+      val groups = docs.select(col("fp"), col("id").as("rep"))
+      val out = expandDupPairs(repPairs, members, groups, "jaccard",
+        lit(1.0), expandDups)
+      materializeAndRelease(out, members, docs)
+    }
   }
 
   /** Exact n-gram Jaccard similarity between all pairs sharing at least
@@ -397,35 +415,49 @@ object TextOps {
         s"pigeonhole guarantee of nChunks-1=${nChunks - 1}; recall is heuristic above that")
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
       fingerprint(col(textCol)).as("fp"))
-    val members = keyed.select("id", "fp").persist()
-    val reps = keyed.groupBy("fp")
-      .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"))
-    // materialize: keeps the tokenize+simhash pipeline out of the
-    // per-candidate-pair hamming filter (see minhashNearDups)
-    val withH = reps.select(col("fp"), col("id"), simhash(col("text")).as("h")).persist()
-    // nearly-equal bit ranges [i*64/n, (i+1)*64/n)
-    val ranges = (0 until nChunks).map { i =>
-      val lo = i * 64 / nChunks; val hi = (i + 1) * 64 / nChunks
-      (i, lo, hi - lo)
+    def verifiedPairs(withH: DataFrame): DataFrame = {
+      // nearly-equal bit ranges [i*64/n, (i+1)*64/n)
+      val ranges = (0 until nChunks).map { i =>
+        val lo = i * 64 / nChunks; val hi = (i + 1) * 64 / nChunks
+        (i, lo, hi - lo)
+      }
+      val chunks = withH.select(col("id"), col("h"),
+        explode(array(ranges.map { case (i, lo, w) =>
+          val mask = if (w >= 64) -1L else (1L << w) - 1L
+          struct(lit(i).as("chunk"),
+            shiftright(col("h"), lo).bitwiseAND(mask).as("ck"))
+        }: _*)).as("c"))
+        .select(col("id"), col("h"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+      val capped = capBuckets(chunks, Seq("chunk", "ck"), maxBucketSize, seed, "simhashNearDups")
+      val a = capped.alias("a"); val b = capped.alias("b")
+      a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hamming64(col("a.h"), col("b.h")).as("hamming"))
+        .dropDuplicates("id_a", "id_b")
+        .where(col("hamming") <= maxHamming)
     }
-    val chunks = withH.select(col("id"), col("h"),
-      explode(array(ranges.map { case (i, lo, w) =>
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
-        struct(lit(i).as("chunk"),
-          shiftright(col("h"), lo).bitwiseAND(mask).as("ck"))
-      }: _*)).as("c"))
-      .select(col("id"), col("h"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-    val capped = capBuckets(chunks, Seq("chunk", "ck"), maxBucketSize, seed, "simhashNearDups")
-    val a = capped.alias("a"); val b = capped.alias("b")
-    val repPairs = a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.h"), col("b.h")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .where(col("hamming") <= maxHamming)
-    val groups = withH.select(col("fp"), col("id").as("rep"))
-    val out = expandDupPairs(repPairs, members, groups, "hamming",
-      lit(0), expandDups)
-    materializeAndRelease(out, members, withH)
+    // adaptive exact-duplicate pre-collapse — see minhashNearDups: the
+    // duplication check is a map-side HLL aggregate, and low-duplication
+    // corpora skip the full-text groupBy shuffle (the per-bucket cap
+    // bounds candidates either way)
+    val st = keyed.agg(count(lit(1)).as("n"), approx_count_distinct(col("fp")).as("d")).head()
+    val collapse = st.getLong(0) - st.getLong(1) > 0.02 * st.getLong(0)
+    if (!collapse) {
+      // materialize: keeps the tokenize+simhash pipeline out of the
+      // per-candidate-pair hamming filter (see minhashNearDups)
+      val withH = keyed.select(col("id"), simhash(col("text")).as("h")).persist()
+      materializeAndRelease(verifiedPairs(withH), withH)
+    } else {
+      val members = keyed.select("id", "fp").persist()
+      val reps = keyed.groupBy("fp")
+        .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"))
+      val withH = reps.select(col("fp"), col("id"), simhash(col("text")).as("h")).persist()
+      val repPairs = verifiedPairs(withH)
+      val groups = withH.select(col("fp"), col("id").as("rep"))
+      val out = expandDupPairs(repPairs, members, groups, "hamming",
+        lit(0), expandDups)
+      materializeAndRelease(out, members, withH)
+    }
   }
 }
