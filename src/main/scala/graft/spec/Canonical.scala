@@ -3128,14 +3128,20 @@ object Canonical {
             o.maxItems.contains(0L) && o.minItems.forall(_ == 0L) && o.contains.isEmpty)
           Some(JArr(Vector.empty))
         else if (o.types == Some(Set(JsonType.Object): Set[JsonType]) &&
-            o.maxProperties.contains(0L) && o.minProperties.forall(_ == 0L) &&
-            o.required.isEmpty)
+            (o.maxProperties.contains(0L) ||
+             // a closed object with no declared keys admits only {}
+             (o.additionalProperties.contains(Spec.Reject) &&
+              o.properties.isEmpty && o.patternProperties.isEmpty &&
+              o.propertyNames.isEmpty && o.maxProperties.forall(_ >= 0L))) &&
+            o.minProperties.forall(_ == 0L) && o.required.isEmpty)
           Some(JObj(Vector.empty))
         else None
       } else None
     val pinnedClear: Spec.Obj => Spec.Obj = x => x.copy(
       maxLength = None, minLength = None, maxItems = None, minItems = None,
-      maxProperties = None, minProperties = None)
+      maxProperties = None, minProperties = None, additionalProperties =
+        if (x.additionalProperties.contains(Spec.Reject) && x.properties.isEmpty &&
+            x.patternProperties.isEmpty) None else x.additionalProperties)
     fromPinnedDomain match {
       case Some(c) =>
         return pinnedClear(o.copy(const = Some(c), types = None))

@@ -85,7 +85,9 @@ class CanonicalFormSpec extends AnyFunSuite {
   def canonForm(v: JsonValue): JsonValue = v match {
     case o: JObj =>
       val fields = o.fields.filterNot(_._1 == "$schema")
-        .map { case (k, x) => k -> canonForm(x) }
+        // const/enum carry instance VALUES, not schemas — compare verbatim
+        // (an empty-OBJECT value must not unify with the true schema)
+        .map { case (k, x) => k -> (if (k == "const" || k == "enum") x else canonForm(x)) }
       if (fields.isEmpty) JBool(true)
       else if (fields == Vector("not" -> JBool(true))) JBool(false)
       else JObj(fields.sortBy(_._1).map {
