@@ -1258,14 +1258,10 @@ object Canonical {
           }
         } match {
           case Some(negI) =>
-            def conj(x: Spec, y: Spec): Spec = (x, y) match {
-              case (Spec.Accept, v) => v
-              case (v, Spec.Accept) => v
-              case (Spec.Reject, _) | (_, Spec.Reject) => Spec.Reject
-              case (a: Spec.Obj, b: Spec.Obj) => Spec.Obj(allOf = Vector(a, b))
-            }
-            val b1 = conj(i, o.thenSpec.getOrElse(Spec.Accept))
-            val b2 = conj(negI, o.elseSpec.getOrElse(Spec.Accept))
+            // conjoinSpecs canonicalizes non-trivial conjunctions in place
+            // so the branches enter the union fold already merged
+            val b1 = conjoinSpecs(i, o.thenSpec.getOrElse(Spec.Accept))
+            val b2 = conjoinSpecs(negI, o.elseSpec.getOrElse(Spec.Accept))
             o.copy(ifSpec = None, thenSpec = None, elseSpec = None,
               allOf = o.allOf :+ Spec.Obj(anyOf = Vector(b1, b2)))
           case None => o // complement declined: keep the conditional raw
