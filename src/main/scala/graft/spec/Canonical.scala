@@ -1752,14 +1752,16 @@ object Canonical {
     def objLeaf(o: Spec.Obj): Boolean =
       o.types.contains(Set(JsonType.Object): Set[JsonType]) &&
         only(o)(_.copy(types = None, properties = Vector.empty,
-          required = Vector.empty, minProperties = None, maxProperties = None))
+          required = Vector.empty, minProperties = None, maxProperties = None,
+          propertyNames = None))
     def tryUnion(a: Spec.Obj, b: Spec.Obj): Option[Spec.Obj] = {
       val aP = a.properties.toMap; val bP = b.properties.toMap
       val aR = a.required.toSet; val bR = b.required.toSet
       def win(o: Spec.Obj): (Long, Option[Long]) =
         (o.minProperties.getOrElse(0L), o.maxProperties)
       val sameEntries = aP == bP
-      if (sameEntries && aR == bR) {
+      if (a.propertyNames != b.propertyNames) None
+      else if (sameEntries && aR == bR) {
         // size-window interval union (integers: adjacency joins too)
         val (lo1, hi1) = win(a); val (lo2, hi2) = win(b)
         val (loB, hiA) = if (lo1 <= lo2) (lo2, hi1) else (lo1, hi2)
@@ -2761,6 +2763,19 @@ object Canonical {
           (acc, v) => if (acc.exists(JsonValue.equal(_, v))) acc else acc :+ v
         }.size < mc
       })) ||
+    // a required key the propertyNames schema rejects (the interpreter
+    // decides each finite witness exactly) — covers propertyNames:false
+    // beside required, and per-key rejections through combinators
+    (objOnly && o.propertyNames.exists(pn => !containsRefs(pn) &&
+      o.required.exists(k =>
+        try !Interp.isValid(pn, JStr(k)) catch { case _: Throwable => false }))) ||
+    // a size floor above the number of keys a finite propertyNames value
+    // set admits
+    (objOnly && o.propertyNames.nonEmpty && o.minProperties.exists { mp =>
+      domainValues(o.propertyNames.get).exists { vs =>
+        dedupEq(vs).count(_.isInstanceOf[JStr]) < mp
+      }
+    }) ||
     notDominatesPinnedKeys(o, objOnly) ||
     valueWitnessFails(o)
   }
