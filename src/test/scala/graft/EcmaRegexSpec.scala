@@ -30,7 +30,7 @@ class EcmaRegexSpec extends AnyFunSuite {
   test("octal vs backreference disambiguation (Annex B)") {
     assert(matches("^\\1$", "\u0001"))       // no group -> octal
     assert(matches("^(a)\\1$", "aa"))        // group -> backreference
-    assert(!matches("^(a)\\1$", "a"))
+    assert(!matches("^(a)\\1$", "a\u0001"))
     assert(matches("^\\101$", "A"))          // 0o101
     assert(matches("^\\0$", "\u0000"))
     assert(matches("^\\8$", "8"))            // \8 identity escape
@@ -52,7 +52,7 @@ class EcmaRegexSpec extends AnyFunSuite {
   }
 
   test("\\v and [\\b] are single characters") {
-    assert(matches("^\\v$", "") && !matches("^\\v$", "\n"))
+    assert(matches("^\\v$", "\u000b") && !matches("^\\v$", "\n"))
     assert(matches("^[\\b]$", "\b") && !matches("^[\\b]$", "b"))
     assert(matches("^\\b.$", "x")) // word boundary outside class unchanged
   }
@@ -83,6 +83,6 @@ class EcmaRegexSpec extends AnyFunSuite {
 
   test("group counting sees named groups and skips non-capturing") {
     assert(matches("^(?<g>a)\\1$", "aa"))    // named group is capturing
-    assert(matches("^(?:a)\\1$", "a")) // non-capturing -> \1 is octal
+    assert(matches("^(?:a)\\1$", "a\u0001")) // non-capturing -> \1 is octal
   }
 }
