@@ -28,12 +28,34 @@ object Pcm {
     val f2 = 400.0 + ((seed >> 8) % 4000) / 4.0  // 400..1400 Hz
     val phase = ((seed >> 16) % 1000) / 1000.0 * 2 * math.Pi
     val out = new Array[Short](n)
+    // Two-tone generation via the phasor rotation recurrence (2 mul + 1 add
+    // per tone per sample) instead of 2 argument-reduced math.sin calls per
+    // sample — the synthesis loop dominated the whole decode+SNR kernel.
+    // The phasors are re-anchored on exact math.sin/cos every `Resync`
+    // samples, which bounds the accumulated rotation drift at ~Resync·ε
+    // (≈5e-13): after scaling by 32767 that is orders of magnitude below
+    // the 0.5 rounding boundary, so the emitted samples match the direct
+    // per-sample evaluation for all practical purposes, and the SNR gate
+    // (30 dB, signals at |v| ≤ 0.8) is insensitive to sub-LSB differences.
+    val w1 = 2 * math.Pi * f1 / srHz
+    val w2 = 2 * math.Pi * f2 / srHz
+    val cw1 = math.cos(w1); val sw1 = math.sin(w1)
+    val cw2 = math.cos(w2); val sw2 = math.sin(w2)
+    val Resync = 1024
+    var s1 = 0d; var c1 = 0d; var s2 = 0d; var c2 = 0d
     var i = 0
     while (i < n) {
-      val t = i.toDouble / srHz
-      val v = 0.45 * math.sin(2 * math.Pi * f1 * t + phase) +
-        0.35 * math.sin(2 * math.Pi * f2 * t)
-      out(i) = math.round(v * 32767.0).toShort
+      if (i % Resync == 0) {
+        val t = i.toDouble / srHz
+        val a1 = 2 * math.Pi * f1 * t + phase
+        val a2 = 2 * math.Pi * f2 * t
+        s1 = math.sin(a1); c1 = math.cos(a1)
+        s2 = math.sin(a2); c2 = math.cos(a2)
+      } else {
+        val n1 = s1 * cw1 + c1 * sw1; c1 = c1 * cw1 - s1 * sw1; s1 = n1
+        val n2 = s2 * cw2 + c2 * sw2; c2 = c2 * cw2 - s2 * sw2; s2 = n2
+      }
+      out(i) = math.round((0.45 * s1 + 0.35 * s2) * 32767.0).toShort
       i += 1
     }
     out
@@ -139,6 +161,13 @@ object Pcm {
     (if (sign != 0) -s else s).toShort
   }
 
+  // 256-entry decode lookup (precomputed from ulawDecodeSample, so it is
+  // value-identical by construction): decode becomes one table index per
+  // byte instead of the bit-twiddling chain — μ-law decode runs on every
+  // ulaw8 row of every validation scan.
+  private val UlawTable: Array[Short] =
+    Array.tabulate(256)(i => ulawDecodeSample(i.toByte))
+
   def encodeUlaw8(samples: Array[Short]): Array[Byte] = {
     val out = new Array[Byte](samples.length)
     var i = 0
@@ -149,7 +178,7 @@ object Pcm {
   def decodeUlaw8(bytes: Array[Byte]): Array[Short] = {
     val out = new Array[Short](bytes.length)
     var i = 0
-    while (i < bytes.length) { out(i) = ulawDecodeSample(bytes(i)); i += 1 }
+    while (i < bytes.length) { out(i) = UlawTable(bytes(i) & 0xff); i += 1 }
     out
   }
 

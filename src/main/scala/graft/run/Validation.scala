@@ -240,6 +240,11 @@ final case class ValidationPlan(checks: Vector[Check],
     val aggs = checks.zipWithIndex.map { case (ch, i) =>
       sum(when(!ch.predicate, 1L).otherwise(0L)).as(s"c$i")
     }
+    // NOTE (r06): spreading few-split scans across cores was measured
+    // here and REVERTED — check predicates are ~1µs/row, so the
+    // repartition exchange cost more than the single-split scan it
+    // parallelized (0.36s → 0.91s on sf0.1 lineitem). Per-row cost must
+    // be kernel-heavy (shingling, decode) before Spread.toCores pays.
     val row = df.agg(aggs.head, aggs.tail: _*)
     val pairs = checks.zipWithIndex.map { case (ch, i) =>
       struct(lit(ch.keyword).as("keyword"), lit(ch.schemaPath).as("schema_path"),

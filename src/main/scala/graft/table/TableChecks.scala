@@ -165,6 +165,9 @@ object TableChecks {
                      accuracy: Int = 10000): DataFrame = {
     val aggs = cols.map(c =>
       percentile_approx(col(c), typedlit(qs), lit(accuracy)).as(s"_q_$c"))
+    // (r06: a conditional repartition before this agg was measured and
+    // reverted — merging per-partition GK sketches cost more than the
+    // single-split scan it parallelized at bench scale)
     val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map(c => struct(lit(c).as("column"), col(s"_q_$c").as("quantiles")))
     row.select(explode(array(structs: _*)).as("s")).select("s.*")

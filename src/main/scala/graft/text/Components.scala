@@ -33,12 +33,18 @@ object Components {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 25,
                           localThreshold: Long = 1L << 20): DataFrame = {
-    // Undirected edge list, both orientations, no self-loops.
-    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // Canonical undirected edges (u < v), deduped BEFORE symmetrizing:
+    // the old form unioned both orientations first and distinct'd 2×E
+    // rows — deduping the canonical orientation shuffles half the bytes
+    // for the identical edge set, and the small-graph path collects half
+    // the rows to the driver. Both orientations are derived lazily from
+    // the checkpointed canonical list where needed.
+    val canon = pairs.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    def e0 = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
 
     // Adaptive small-input path (AQE-spirit): the alternating-star loop
     // costs ~4 scheduled jobs per round, which dominates when the edge
@@ -46,18 +52,20 @@ object Components {
     // usually orders of magnitude smaller than the corpus, so below the
     // threshold union-find on the driver is both exact and faster; the
     // shuffle-parallel loop below remains the path for big graphs.
-    val idType = e0.schema.fields(0).dataType
+    val idType = canon.schema.fields(0).dataType
     val localOrd: Option[Ordering[Any]] = idType match {
       case LongType => Some(Ordering.by(_.asInstanceOf[java.lang.Long].longValue))
       case IntegerType => Some(Ordering.by(_.asInstanceOf[java.lang.Integer].intValue))
       case org.apache.spark.sql.types.StringType => Some(Ordering.by(_.asInstanceOf[String]))
       case _ => None // other id types: distributed path only
     }
-    val nEdges = e0.count()
+    // decision boundary unchanged: localThreshold counts SYMMETRIC edges
+    // (2 per undirected pair), as before
+    val nEdges = canon.count() * 2
     if (nEdges > 0 && nEdges <= localThreshold && localOrd.nonEmpty) {
       implicit val ord: Ordering[Any] = localOrd.get
       val spark = pairs.sparkSession
-      val edges = e0.collect().map(r => (r.get(0), r.get(1)))
+      val edges = canon.collect().map(r => (r.get(0), r.get(1)))
       val parent = scala.collection.mutable.HashMap[Any, Any]()
       val rank = scala.collection.mutable.HashMap[Any, Int]().withDefaultValue(0)
       def find(x: Any): Any = {
@@ -86,7 +94,7 @@ object Components {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", idType),
           org.apache.spark.sql.types.StructField("component", idType))))
-      e0.unpersist(false)
+      canon.unpersist(false)
       return out.localCheckpoint(true)
     }
 
@@ -133,11 +141,11 @@ object Components {
       cs = csN
       i += 1
     }
-    val out = e0.select(col("u")).union(e0.select(col("v"))).distinct()
+    val out = canon.select(col("u")).union(canon.select(col("v"))).distinct()
       .join(e.withColumnRenamed("v", "component"), Seq("u"), "left")
       .select(col("u").as("id"), coalesce(col("component"), col("u")).as("component"))
     val res = out.localCheckpoint(true)
-    e.unpersist(false); e0.unpersist(false)
+    e.unpersist(false); canon.unpersist(false)
     res
   }
 

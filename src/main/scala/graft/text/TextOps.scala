@@ -178,15 +178,22 @@ object TextOps {
         .where(col("count") > cap)
         .agg(coalesce(sum(col("count") - cap), lit(0L)).as("d"), count(lit(1)).as("nb"))
         .collect()(0)
-      if (over.getLong(0) > 0)
+      if (over.getLong(0) == 0) {
+        // no bucket exceeds the cap (the common case): the row_number
+        // window would be an identity — skip its shuffle + per-bucket sort
+        // entirely; the pre-count doubles as the proof of zero drops
+        // (VERDICT_r05 "What's wrong" #3).
+        banded
+      } else {
         System.err.println(s"[graft] $what: per-bucket cap $cap binding — dropped " +
           s"${over.getLong(0)} row-bucket assignments across ${over.getLong(1)} over-full " +
           "buckets from candidate generation (recall becomes approximate for rows " +
           "sharing only over-full buckets)")
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(xxhash64(col("id") +: keyCols.map(col) :+ lit(seed): _*))
-      banded.withColumn("_rk", row_number().over(w))
-        .where(col("_rk") <= cap).drop("_rk")
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(xxhash64(col("id") +: keyCols.map(col) :+ lit(seed): _*))
+        banded.withColumn("_rk", row_number().over(w))
+          .where(col("_rk") <= cap).drop("_rk")
+      }
     }
   }
 
@@ -257,8 +264,12 @@ object TextOps {
                       threshold: Double = 0.7, seed: Long = 42L,
                       maxBucketSize: Int = 1024,
                       expandDups: Boolean = true): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      fingerprint(col(textCol)).as("fp"))
+    // normalization + hashing + shingling are per-row kernels: floor the
+    // parallelism for few-split inputs (no-op at scale — Spread scaladoc)
+    val base = graft.functions.Spread
+      .toCores(df.select(col(idCol).as("id"), col(textCol).as("text")))
+    val keyed = base.select(col("id"), col("text"),
+      fingerprint(col("text")).as("fp"))
     // candidate generation from shingled docs: shuffles only (id, band,
     // band_hash) — the fat shingle arrays are joined back ONLY for the
     // deduped candidates
@@ -284,7 +295,12 @@ object TextOps {
     // corpus has meaningful duplication is decided first with a map-side
     // HLL aggregate (no shuffle). Low-duplication corpora skip straight
     // to banding — the per-bucket cap bounds candidates either way.
-    val st = keyed.agg(count(lit(1)).as("n"), approx_count_distinct(col("fp")).as("d")).head()
+    // The decision only needs SOME content fingerprint's distinct count,
+    // so it hashes with xxhash64 (fingerprint64) instead of md5 — the
+    // md5 fingerprint is only computed when the collapse path actually
+    // groups on it (where its collision resistance matters).
+    val st = base.agg(count(lit(1)).as("n"),
+      approx_count_distinct(fingerprint64(col("text"))).as("d")).head()
     val collapse = st.getLong(0) - st.getLong(1) > 0.02 * st.getLong(0)
     if (!collapse) {
       val docs = keyed.select(col("id"), shingles(col("text"), n).as("sh"))
@@ -332,7 +348,12 @@ object TextOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Int = 10000): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // shingling is the heavy per-row kernel: spread few-split inputs over
+    // the cores BEFORE it (exchange carries the narrow (id, text)
+    // projection; no-op at scale — graft.functions.Spread)
+    val docs = graft.functions.Spread
+      .toCores(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
       .persist()
@@ -347,6 +368,15 @@ object TextOps {
         System.err.println("[graft] ngramJaccardPairs: maxDocFreq cap explicitly DISABLED — " +
           "candidate generation is quadratic in the hottest shingle's doc frequency; " +
           "this is only safe for exact small-scale runs")
+        inv0
+      }
+      else if (docs.count() <= maxDocFreq) {
+        // a shingle's doc frequency is bounded by the doc count, so when
+        // the table itself has <= maxDocFreq docs NO shingle can exceed
+        // the cap: the hot-shingle pass is provably a no-op — skip its
+        // full shuffle+aggregate of the exploded inverted index. The
+        // count also materializes the `docs` persist (the hot pass did
+        // that before). At corpus scale the guarded pass below still runs.
         inv0
       }
       else {
@@ -413,8 +443,12 @@ object TextOps {
     if (maxHamming > nChunks - 1)
       System.err.println(s"[graft] simhashNearDups: maxHamming=$maxHamming exceeds the " +
         s"pigeonhole guarantee of nChunks-1=${nChunks - 1}; recall is heuristic above that")
-    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      fingerprint(col(textCol)).as("fp"))
+    // see minhashNearDups: spread few-split inputs before the per-row
+    // tokenize+simhash kernels (no-op at scale)
+    val base = graft.functions.Spread
+      .toCores(df.select(col(idCol).as("id"), col(textCol).as("text")))
+    val keyed = base.select(col("id"), col("text"),
+      fingerprint(col("text")).as("fp"))
     def verifiedPairs(withH: DataFrame): DataFrame = {
       // nearly-equal bit ranges [i*64/n, (i+1)*64/n)
       val ranges = (0 until nChunks).map { i =>
@@ -438,10 +472,12 @@ object TextOps {
         .where(col("hamming") <= maxHamming)
     }
     // adaptive exact-duplicate pre-collapse — see minhashNearDups: the
-    // duplication check is a map-side HLL aggregate, and low-duplication
-    // corpora skip the full-text groupBy shuffle (the per-bucket cap
-    // bounds candidates either way)
-    val st = keyed.agg(count(lit(1)).as("n"), approx_count_distinct(col("fp")).as("d")).head()
+    // duplication check is a map-side HLL aggregate over the cheap
+    // xxhash64 fingerprint (md5 is only computed when the collapse path
+    // groups on it), and low-duplication corpora skip the full-text
+    // groupBy shuffle (the per-bucket cap bounds candidates either way)
+    val st = base.agg(count(lit(1)).as("n"),
+      approx_count_distinct(fingerprint64(col("text"))).as("d")).head()
     val collapse = st.getLong(0) - st.getLong(1) > 0.02 * st.getLong(0)
     if (!collapse) {
       // materialize: keeps the tokenize+simhash pipeline out of the
