@@ -80,9 +80,16 @@ object AudioChecks {
         else {
           val minDb = v match { case n: JNum => n.value.toDouble; case _ => MinSnrDb }
           val snr = snrOf(row)
+          // r06 plan fix: `!isnan(snr) && snr >= minDb` put TWO textual
+          // copies of the AudioSnr expression in the hot predicate, and
+          // codegen subexpression elimination does not extract
+          // subexpressions inside conditional branches — every row passing
+          // the guards paid the decode+synthesis kernel twice (verified in
+          // the generated code). nanvl gives the identical truth table
+          // (NaN → -Inf → false; null propagates) with ONE call site.
           Some(coalesce(
             when(guards(row) && length(row.getField("bytes")) === expectedBytes(row),
-              !isnan(snr) && snr >= minDb),
+              nanvl(snr, lit(Double.NegativeInfinity)) >= minDb),
             lit(true)))
         },
       messageCol = Some((v, row, _) => {

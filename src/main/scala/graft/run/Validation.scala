@@ -50,8 +50,10 @@ final case class ValidationPlan(checks: Vector[Check],
 
   /** Annotation rows per input row — `Validator::iter_annotations`. */
   def iterAnnotations(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    // no size(...) pre-filter: explode drops empty arrays, and the filter
+    // would be pushed below the projection with the whole annotations
+    // expression duplicated into it (see violations())
     df.select(keyCols.map(col) :+ annotationsCol.as("annotations"): _*)
-      .where(size(col("annotations")) > 0)
       .select(keyCols.map(col) :+ explode(col("annotations")).as("_ann"): _*)
       .select(keyCols.map(col) ++ Seq(
         col("_ann.keyword").as("keyword"),
@@ -171,7 +173,9 @@ final case class ValidationPlan(checks: Vector[Check],
 
   /** df + `valid` + `violations` columns (evaluate-list analog). `valid`
     * derives from the violations array so the check predicates are
-    * evaluated exactly once per row. */
+    * evaluated exactly once per row (CollapseProject does not re-inline
+    * the non-cheap violations expression into `valid` — verified against
+    * the generated code in r06). */
   def withValidation(df: DataFrame): DataFrame =
     df.withColumn("violations", violationsCol)
       .withColumn("valid", size(col("violations")) === 0)
@@ -184,8 +188,14 @@ final case class ValidationPlan(checks: Vector[Check],
     * key columns — our primary output per the north rule. */
   def violations(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keyed = df.select(keyCols.map(col) :+ violationsCol.as("violations"): _*)
+    // NO pre-filter on size(violations): `explode` already drops empty
+    // arrays, and a `.where(size > 0)` here was pushed BELOW the
+    // projection by the optimizer with the whole violations expression
+    // inlined into the filter condition — every row evaluated the full
+    // check battery (regexes, messages) TWICE (guide §4.4's duplication,
+    // verified in the r06 plan dump: Filter(2) and Project(3) both
+    // carried the complete expression).
     keyed
-      .where(size(col("violations")) > 0)
       .select(keyCols.map(col) :+ explode(col("violations")).as("v"): _*)
       .select(keyCols.map(col) ++ Seq(
         col("v.keyword").as("keyword"),
