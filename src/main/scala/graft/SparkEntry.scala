@@ -362,10 +362,7 @@ object SparkEntry {
     //    simhash, so the query emits the set-equality verdict (both
     //    directions) + the hamming-bound invariant.
     "q_docs_simhash" -> ((s, dir) => {
-      // brute-force side: spread the single-file scan over the cores so the
-      // O(n²) hamming loop and the per-doc simhash kernel parallelize
-      // (scale-adaptive no-op — graft.functions.Spread; result set identical)
-      val withH = graft.functions.Spread.toCores(t(s, dir, "documents"))
+      val withH = t(s, dir, "documents")
         .select(col("doc_id").as("id"), TextOps.simhash(col("text")).as("h"))
       val a = withH.alias("a"); val b = withH.alias("b")
       val brute = a.join(b, col("a.id") < col("b.id"))

@@ -157,7 +157,12 @@ object Components {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, threshold: Double = 0.5,
                   maxDocFreq: Int = 10000): DataFrame = {
-    val losers = jaccardDupGroups(df, idCol, textCol, n, threshold, maxDocFreq)
+    // non-canonical ids come straight from connectedComponents: the
+    // group_size aggregation+join that jaccardDupGroups adds is unused
+    // here (Catalyst cannot prune an inner join it cannot prove
+    // non-filtering), so skip it — one fewer shuffle + join per run
+    val pairs = TextOps.ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+    val losers = connectedComponents(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -443,10 +443,10 @@ object TextOps {
     if (maxHamming > nChunks - 1)
       System.err.println(s"[graft] simhashNearDups: maxHamming=$maxHamming exceeds the " +
         s"pigeonhole guarantee of nChunks-1=${nChunks - 1}; recall is heuristic above that")
-    // see minhashNearDups: spread few-split inputs before the per-row
-    // tokenize+simhash kernels (no-op at scale)
-    val base = graft.functions.Spread
-      .toCores(df.select(col(idCol).as("id"), col(textCol).as("text")))
+    // NOTE (r06): unlike minhashNearDups, no Spread.toCores here — the
+    // tokenize+simhash kernel is ~10x cheaper than shingling and the A/B
+    // measured the extra exchange as a net loss (1.84s → 2.21s at sf0.1)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val keyed = base.select(col("id"), col("text"),
       fingerprint(col("text")).as("fp"))
     def verifiedPairs(withH: DataFrame): DataFrame = {
