@@ -76,11 +76,53 @@ object Streaming {
   // ==== runtime structures ==================================================
 
   /** Forward cell for recursive structural edges. */
-  private final class SRef { var f: Cur => Boolean = null }
+  private[spec] final class SRef { var f: Cur => Boolean = null }
 
-  private final class FP(val reqBit: Int, val isProp: Boolean,
+  private[spec] final class FP(val reqBit: Int, val isProp: Boolean,
                          val s: SRef, val d: JsonValue => Boolean)
   private final class PatC(val re: Pattern, val s: SRef, val d: JsonValue => Boolean)
+
+  /** Length-bucketed field dispatch for the single-consumer object pass:
+    * resolves a field-name SPAN of the source text to its FP with one
+    * regionMatches per same-length candidate — no intern-pool probe, no
+    * hashing, no substring (r06: FieldIntern.internRange was 48% of the
+    * CITM single-core profile; property sets are small, so the length
+    * bucket is almost always a singleton). */
+  private[spec] final class FieldProbe(maxLen: Int, names: Array[Array[String]],
+                                 fps: Array[Array[FP]],
+                                 map: java.util.HashMap[String, FP]) {
+    def lookup(s: String, start: Int, end: Int): FP = {
+      val len = end - start
+      if (len > maxLen) return null
+      val ns = names(len)
+      if (ns == null) return null
+      var k = 0
+      while (k < ns.length) {
+        if (s.regionMatches(start, ns(k), 0, len)) return fps(len)(k)
+        k += 1
+      }
+      null
+    }
+    /** Escaped-name fallback (rare): plain map get on the decoded key. */
+    def lookupString(k: String): FP = map.get(k)
+  }
+  private[spec] object FieldProbe {
+    def build(map: java.util.HashMap[String, FP]): FieldProbe = {
+      var maxLen = 0
+      val it0 = map.keySet().iterator()
+      while (it0.hasNext) maxLen = math.max(maxLen, it0.next().length)
+      val names = new Array[Array[String]](maxLen + 1)
+      val fps = new Array[Array[FP]](maxLen + 1)
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val len = e.getKey.length
+        names(len) = if (names(len) == null) Array(e.getKey) else names(len) :+ e.getKey
+        fps(len) = if (fps(len) == null) Array(e.getValue) else fps(len) :+ e.getValue
+      }
+      new FieldProbe(maxLen, names, fps, map)
+    }
+  }
   /** `depTrig(i)`/`depNeed(i)`: one `dependentRequired` entry as presence
     * masks — trigger bit set ⇒ all need bits must be set at object end.
     * FP.reqBit doubles as the presence bit (required keys own
@@ -92,6 +134,9 @@ object Streaming {
                          val depNeed: Array[Long] = Array.empty) {
     val reqFull: Long = if (reqCount >= 64) -1L else (1L << reqCount) - 1
     val tracksBits: Boolean = reqCount > 0 || depTrig.length > 0
+    // single-consumer fast dispatch (see FieldProbe); built once at
+    // compile time, shared read-only across rows and threads
+    val probe: FieldProbe = FieldProbe.build(fields)
   }
   /** Tag-dispatched combinator over objects (mirrors Compiled constDispatch).
     * branches(i) == null ⇒ that branch rejects all objects. */
@@ -168,15 +213,24 @@ object Streaming {
         case 'n' => cur.word("null"); okNull
         case _ =>
           if (!okInt && !okFrac) false
-          else if (okInt && okFrac && numCI.length == 0 && numCF.length == 0) {
-            cur.scanNumber(); true
-          } else {
-            val jn = cur.readNumber()
-            val cs = if (jn.isIntegral) { if (!okInt) return false; numCI }
-                     else { if (!okFrac) return false; numCF }
-            var k = 0; var ok = true
-            while (ok && k < cs.length) { ok = cs(k)(jn); k += 1 }
-            ok
+          else {
+            // r06: scan first, materialize only when a constraint (or an
+            // int/frac split on a '.'/'e' token) actually needs the value.
+            // "type": "integer" over plain integer tokens — the dominant
+            // case on id-heavy documents — no longer builds a BigDecimal
+            // per number (readNumber was 16% of the CITM profile).
+            val start = cur.i
+            val intOnly = cur.scanNumber()
+            if (intOnly && numCI.length == 0) okInt
+            else if (!intOnly && okInt && okFrac && numCI.length == 0 && numCF.length == 0) true
+            else {
+              val jn = cur.numFromSpan(start, intOnly)
+              val cs = if (jn.isIntegral) { if (!okInt) return false; numCI }
+                       else { if (!okFrac) return false; numCF }
+              var k = 0; var ok = true
+              while (ok && k < cs.length) { ok = cs(k)(jn); k += 1 }
+              ok
+            }
           }
       }
     }
@@ -232,6 +286,45 @@ object Streaming {
               ci += 1
             }
           }
+          count += 1
+          cur.ws()
+          (cur.readCh(): @annotation.switch) match {
+            case ',' => ()
+            case '}' => done = true
+            case _   => cur.err("expected ',' or '}'")
+          }
+        }
+      }
+      return endObj(cons, masks, count)
+    }
+    // single-consumer struct fast path (r06): no patternProperties, no
+    // propertyNames — the only uses of the key are the field-map lookup
+    // and the required/dependency bit, so dispatch the RAW span through
+    // the consumer's FieldProbe instead of interning every occurrence
+    // (FieldIntern.internRange was 48% of the CITM single-core profile).
+    // Semantics mirror the general loop below specialized to one
+    // consumer: nChecks can only be 0 or 1, so the materialized
+    // (readTree) arm is unreachable.
+    if (cons.length == 1 && pns.length == 0 && cons(0).patterns.length == 0) {
+      val oc = cons(0)
+      val probe = oc.probe
+      var count = 0
+      if (cur.peek == '}') cur.bump()
+      else {
+        var done = false
+        while (!done) {
+          cur.ws()
+          val fp = cur.matchFieldName(probe)
+          cur.ws(); cur.expect(':')
+          if (fp != null) {
+            if (fp.reqBit >= 0) masks(0) |= 1L << fp.reqBit
+            if (fp.isProp) {
+              if (fp.s != null) { if (!fp.s.f(cur)) return false }
+              else cur.skipValue()
+            } else if (oc.apS != null) { if (!oc.apS.f(cur)) return false }
+            else cur.skipValue()
+          } else if (oc.apS != null) { if (!oc.apS.f(cur)) return false }
+          else cur.skipValue()
           count += 1
           cur.ws()
           (cur.readCh(): @annotation.switch) match {
@@ -1283,6 +1376,23 @@ object Streaming {
       else err("unescaped control character in string")
     }
 
+    /** Consume a field name and resolve it against `probe` IN PLACE —
+      * vetted like readFieldName but with no interning, no hashing and no
+      * substring on the unescaped path (r06 CITM hot path). Escaped names
+      * (rare) decode through the slow reader and probe by string. */
+    def matchFieldName(probe: FieldProbe): FP = {
+      if (i >= n || s.charAt(i) != '"') err("expected field name")
+      i += 1
+      val start = i
+      val q = s.indexOf('"', i)
+      if (q < 0) err("unterminated string")
+      val p = vetSpan(i, q)
+      if (p == q) { i = q + 1; return probe.lookup(s, start, q) }
+      i = p
+      if (s.charAt(p) == '\\') probe.lookupString(readStringSlow(start))
+      else err("unescaped control character in string")
+    }
+
     /** Grammar-only field name: vetted like readFieldName, never interned
       * (uniform-map fast path — the key is data nobody reads). */
     def skipFieldName(): Unit = {
@@ -1452,6 +1562,13 @@ object Streaming {
     def readNumber(): JNum = {
       val start = i
       val intOnly = scanNumber()
+      numFromSpan(start, intOnly)
+    }
+
+    /** Materialize the number token already scanned from `start` up to
+      * the cursor (split out of readNumber so callers that learn from
+      * scanNumber() alone that no value is needed can skip this). */
+    def numFromSpan(start: Int, intOnly: Boolean): JNum = {
       val len = i - start
       if (intOnly && len <= 18) {
         var v = 0L
