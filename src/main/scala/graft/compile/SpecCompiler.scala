@@ -829,17 +829,30 @@ object SpecCompiler {
       add("prefixItems", ns(p),
         concat(lit(s"item $i of "), rendered, lit(" does not match the prefixItems schema")))
     }
+    // items/contains element loops go through the codegen-capable
+    // ForallElems/CountTrueElems kernels (graft.functions.arrexprs):
+    // Spark's forall/filter HOFs have no codegen, and one of them evicted
+    // the WHOLE per-check aggregation from WholeStageCodegen (r06 plan
+    // audit). The builders fall back to the plain HOFs whenever the bound
+    // element predicate needs analyzer coercion, so results are identical.
+    val containsNull = t.dtype match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
     s.items.foreach { sub =>
       val body =
-        if (nPrefix == 0) forall(c, elemPred(sub))
+        if (nPrefix == 0)
+          graft.functions.arrexprs.forall_elems(c, et, containsNull, elemPred(sub))
         else when(size(c) <= lit(nPrefix), lit(true))
-          .otherwise(forall(slice(c, lit(nPrefix + 1), size(c) - lit(nPrefix)), elemPred(sub)))
+          .otherwise(graft.functions.arrexprs.forall_elems(
+            slice(c, lit(nPrefix + 1), size(c) - lit(nPrefix)), et, containsNull,
+            elemPred(sub)))
       add("items", ns(body),
         concat(lit("items of "), rendered, lit(" do not match the items schema")))
     }
     if (s.contains.nonEmpty || s.minContains.nonEmpty || s.maxContains.nonEmpty) {
       s.contains.foreach { sub =>
-        val cnt = size(filter(c, elemPred(sub)))
+        val cnt = graft.functions.arrexprs.count_true(c, et, containsNull, elemPred(sub))
         val minC = s.minContains.getOrElse(1L)
         val p = (cnt >= lit(minC)) && s.maxContains.map(mx => cnt <= lit(mx)).getOrElse(lit(true))
         add("contains", ns(p),
