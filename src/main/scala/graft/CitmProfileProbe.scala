@@ -52,4 +52,3 @@ object CitmProfileProbe {
       println(f"  ${100.0 * c / samples}%5.1f%%  $f") }
   }
 }
-// (caller attribution added below via second main)

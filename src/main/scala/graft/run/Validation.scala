@@ -187,14 +187,16 @@ final case class ValidationPlan(checks: Vector[Check],
   /** Violation rows: one output row per failed check, carrying the given
     * key columns — our primary output per the north rule. */
   def violations(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val keyed = df.select(keyCols.map(col) :+ violationsCol.as("violations"): _*)
-    // NO pre-filter on size(violations): `explode` already drops empty
-    // arrays, and a `.where(size > 0)` here was pushed BELOW the
-    // projection by the optimizer with the whole violations expression
-    // inlined into the filter condition — every row evaluated the full
-    // check battery (regexes, messages) TWICE (guide §4.4's duplication,
-    // verified in the r06 plan dump: Filter(2) and Project(3) both
-    // carried the complete expression).
+    // OnceBarrier + no pre-filter on size(violations): `explode` already
+    // drops empty arrays, and both an explicit `.where(size > 0)` AND the
+    // optimizer's InferFiltersFromGenerate get pushed BELOW the projection
+    // with the whole violations expression inlined into the filter
+    // condition — every row then evaluates the full check battery
+    // (regexes, messages) TWICE (guide §4.4's duplication, verified in
+    // the r06 plan dumps). The barrier pins the expression to this
+    // projection; the inferred filter stays above it on the attribute.
+    val keyed = df.select(keyCols.map(col) :+
+      graft.functions.OnceBarrier.once(violationsCol).as("violations"): _*)
     keyed
       .select(keyCols.map(col) :+ explode(col("violations")).as("v"): _*)
       .select(keyCols.map(col) ++ Seq(
