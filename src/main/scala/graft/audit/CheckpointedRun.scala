@@ -103,11 +103,19 @@ object CheckpointedRun {
         // violations for this unit: idempotent overwrite of the unit's dir
         val vioDir = s"$auditDir/violations/$runId/${unitId(unit)}"
         plan.violations(df, keyCols).write.mode("overwrite").parquet(vioDir)
-        // metrics in one pass
-        val m = df.agg(
+        // metrics in one pass; the violations array is staged ONCE behind
+        // an OnceBarrier — the old form put `!isValidCol` and
+        // `size(violationsCol)` as two separate aggregate expressions,
+        // each carrying its own full copy of the check battery (codegen
+        // CSE does not extract conditional-branch subexpressions), so
+        // every row ran all checks twice. `size(_vio) > 0 ⇔ !isValidCol`
+        // (a NULL row verdict yields an empty array on both definitions).
+        val staged = df.withColumn("_vio",
+          graft.functions.OnceBarrier.once(plan.violationsCol))
+        val m = staged.agg(
           count(lit(1)).as("rows"),
-          sum(when(!plan.isValidCol, 1L).otherwise(0L)).as("invalid"),
-          sum(size(plan.violationsCol)).as("violations")).collect()(0)
+          sum(when(size(col("_vio")) > 0, 1L).otherwise(0L)).as("invalid"),
+          sum(size(col("_vio"))).as("violations")).collect()(0)
         val rows = m.getLong(0); val inv = m.getLong(1); val vio = m.getLong(2)
         // atomic commit: temp file + rename
         // single line: the audit log is read as JSON-lines
