@@ -364,6 +364,8 @@ object SparkEntry {
     "q_docs_simhash" -> ((s, dir) => {
       val withH = t(s, dir, "documents")
         .select(col("doc_id").as("id"), TextOps.simhash(col("text")).as("h"))
+      // (r06: spreading the brute-join stream side was A/B'd twice —
+      // no measurable win at this scale; the hamming loop is too cheap)
       val a = withH.alias("a"); val b = withH.alias("b")
       val brute = a.join(b, col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

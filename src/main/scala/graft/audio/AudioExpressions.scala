@@ -22,8 +22,9 @@ object AudioFns {
     Pcm.decode(codec.toString, bytes) match {
       case None => Double.NaN
       case Some(decoded) =>
-        val ref = Pcm.synthesize(clipId.toString, srHz, durMs)
-        Pcm.snrDb(ref, decoded)
+        // fused synth+accumulate: value-identical to
+        // snrDb(synthesize(...), decoded) without the reference array
+        Pcm.snrVsReference(clipId.toString, srHz, durMs, decoded)
     }
   }
 

@@ -208,6 +208,53 @@ object Pcm {
     case _                  => None
   }
 
+  /** SNR of `decoded` against the reference synthesis for
+    * (clipId, srHz, durMs) WITHOUT materializing the reference: the
+    * phasor recurrence emits each reference sample and the sig/noise
+    * accumulation consumes it in place — value-identical to
+    * `snrDb(synthesize(...), decoded)` (same per-sample values in the
+    * same order), minus one n-short array per row, and the
+    * length-mismatch NaN case now skips synthesis entirely. */
+  def snrVsReference(clipId: String, srHz: Int, durMs: Int,
+                     decoded: Array[Short]): Double = {
+    val n = numSamples(srHz, durMs)
+    if (n != decoded.length) return Double.NaN
+    val seed = clipId.hashCode.toLong & 0xffffffffL
+    val f1 = 80.0 + (seed % 2000) / 8.0
+    val f2 = 400.0 + ((seed >> 8) % 4000) / 4.0
+    val phase = ((seed >> 16) % 1000) / 1000.0 * 2 * math.Pi
+    val w1 = 2 * math.Pi * f1 / srHz
+    val w2 = 2 * math.Pi * f2 / srHz
+    val cw1 = math.cos(w1); val sw1 = math.sin(w1)
+    val cw2 = math.cos(w2); val sw2 = math.sin(w2)
+    val Resync = 1024
+    var s1 = 0d; var c1 = 0d; var s2 = 0d; var c2 = 0d
+    var sig = 0.0
+    var noise = 0.0
+    var i = 0
+    while (i < n) {
+      if (i % Resync == 0) {
+        val t = i.toDouble / srHz
+        val a1 = 2 * math.Pi * f1 * t + phase
+        val a2 = 2 * math.Pi * f2 * t
+        s1 = math.sin(a1); c1 = math.cos(a1)
+        s2 = math.sin(a2); c2 = math.cos(a2)
+      } else {
+        val n1 = s1 * cw1 + c1 * sw1; c1 = c1 * cw1 - s1 * sw1; s1 = n1
+        val n2 = s2 * cw2 + c2 * sw2; c2 = c2 * cw2 - s2 * sw2; s2 = n2
+      }
+      val ref = math.round((0.45 * s1 + 0.35 * s2) * 32767.0).toShort
+      val s = ref.toDouble
+      val e = decoded(i).toDouble - s
+      sig += s * s
+      noise += e * e
+      i += 1
+    }
+    if (noise == 0) 120.0
+    else if (sig == 0) 0.0
+    else math.min(120.0, 10.0 * math.log10(sig / noise))
+  }
+
   /** SNR in dB of `decoded` against the reference signal; Double.NaN when
     * lengths mismatch, +120 dB cap for exact matches. */
   def snrDb(reference: Array[Short], decoded: Array[Short]): Double = {

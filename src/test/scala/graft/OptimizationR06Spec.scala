@@ -70,6 +70,26 @@ class OptimizationR06Spec extends AnyFunSuite {
     assert(lsbDiffs <= 2, s"$lsbDiffs of $total samples differ by 1 LSB")
   }
 
+  test("fused snrVsReference is bitwise-equal to snrDb(synthesize, decoded)") {
+    Seq(("pcm16", 16000, 80), ("dpcm16", 44100, 123), ("ulaw8", 8000, 200)).foreach {
+      case (codec, sr, dur) =>
+        val id = s"clip-fused-$codec"
+        val s = Pcm.synthesize(id, sr, dur)
+        val dec = Pcm.decode(codec, Pcm.encode(codec, s)).get
+        val fused = Pcm.snrVsReference(id, sr, dur, dec)
+        val split = Pcm.snrDb(Pcm.synthesize(id, sr, dur), dec)
+        assert(java.lang.Double.doubleToLongBits(fused) ==
+          java.lang.Double.doubleToLongBits(split), s"$codec: $fused vs $split")
+        // corrupted payload: same SNR either way
+        val noisy = dec.clone(); var i = 0
+        while (i < noisy.length) { noisy(i) = (noisy(i) + 5000).toShort; i += 1 }
+        assert(java.lang.Double.doubleToLongBits(Pcm.snrVsReference(id, sr, dur, noisy)) ==
+          java.lang.Double.doubleToLongBits(Pcm.snrDb(Pcm.synthesize(id, sr, dur), noisy)))
+    }
+    // length mismatch -> NaN without synthesizing
+    assert(Pcm.snrVsReference("clip-x", 16000, 100, new Array[Short](7)).isNaN)
+  }
+
   test("lossless round-trip still caps SNR at 120 dB; ulaw stays above the 30 dB gate") {
     Seq(("pcm16", 16000, 80), ("dpcm16", 44100, 120), ("ulaw8", 8000, 200)).foreach {
       case (codec, sr, dur) =>
