@@ -135,6 +135,29 @@ class OptimizationR06Spec extends AnyFunSuite {
     assert(pairs(100) == pairs(0))
   }
 
+  test("violations plan evaluates the check battery exactly once per row") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = graft.run.Validation.compile(
+      """{"properties":{"o_orderpriority":{"pattern":"^[1-5]-"}}}""", orders.schema)
+    val q = plan.violations(orders, Seq("o_orderkey"))
+    val s = q.queryExecution.optimizedPlan.toString
+    // the projection legitimately carries two textual predicate sites
+    // (hot guard + cold per-entry branch); the pre-r06 defect was a THIRD
+    // copy pushed into the size(...) > 0 filter below the projection
+    // (explicitly or via InferFiltersFromGenerate). The OnceBarrier keeps
+    // the filter on the attribute: no Filter line may contain the battery.
+    val filterLines = s.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq
+    assert(filterLines.nonEmpty && filterLines.forall(!_.contains("RLIKE")), s)
+  }
+
+  test("x-audio-snr predicate carries a single decode+synthesis site") {
+    val clips = graft.audio.ClipsGen.generate(spark, 20, 1).toDF()
+    val plan = graft.audio.AudioChecks.fullPlan(clips.schema)
+    val s = clips.where(plan.isValidCol).queryExecution.optimizedPlan.toString.toLowerCase
+    // pre-r06, `!isnan(snr) && snr >= minDb` evaluated the kernel twice
+    assert("audiosnr".r.findAllIn(s).size == 1, s)
+  }
+
   test("ivfTrain is deterministic and its assignments still reproduce brute-force top-k") {
     val d = 8
     val rows = (0 until 120).map(i =>
