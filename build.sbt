@@ -36,6 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Throughput collector: the engine's hot paths are allocation-heavy
   // batch loops (per-document value trees); ParallelGC measures ~15-20%
   // faster than the G1 default on the recursive parse+validate probe and
-  // matches common production Spark executor tuning.
-  "-XX:+UseParallelGC",
+  // matches common production Spark executor tuning. Parameterised for
+  // A/B runs. r06 re-measured the trade: G1 looked ~1.2s faster on one
+  // clips-suite window but costs the STREAMING kernel 35-40% single-core
+  // (CITM 737 -> 454 docs/s in back-to-back probes — G1 write barriers on
+  // the per-document value-tree allocation) — the reference-mirror lanes
+  // keep ParallelGC.
+  sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC"),
 )
